@@ -24,4 +24,13 @@ cli        : typed config + command-line entry points          (§2.1 #7)
 
 __version__ = "0.1.0"
 
-from bravais_tpu.lattices import Lattice, make_lattice, kpath  # noqa: F401
+import jax as _jax
+
+# TPU MXUs multiply f32 as bf16 by default ('default' matmul precision) —
+# a ~1e-2 relative error that destroys Gram matrices, orthogonalization
+# and quadrature contractions (verified: LOBPCG returns garbage on TPU
+# without this). An eigensolver framework wants true-f32 contractions;
+# hot kernels that can tolerate less pick their own precision explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from bravais_tpu.lattices import Lattice, make_lattice, kpath  # noqa: F401,E402

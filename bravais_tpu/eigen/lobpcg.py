@@ -1,0 +1,200 @@
+"""Complex LOBPCG eigensolver — fixed-shape, jit/vmap-compatible.
+
+The rebuild's replacement for hypre's BLOPEX LOBPCG (SURVEY.md §2.2 #13,
+App. C.2): finds the lowest ``nev`` eigenpairs of the Hermitian pencil
+(A, M), A x = λ M x, with
+
+* a block of ``m = nev + guard`` vectors (band/block parallelism — the
+  block axis feeds the MXU in every matvec and Gram product, §2.3);
+* soft locking by masking (shapes never change, so one XLA program
+  serves every k-point and the whole solver can sit under vmap/shard_map);
+* basis stabilization in the Rayleigh–Ritz step following the
+  Duersch–Shao–Yang approach: eigendecomposition-based whitening of the
+  S-basis Gram matrix with spectral-threshold dropping of near-null
+  directions (critical in float32 — precision plan SURVEY.md §7.0 item 4).
+
+Conventions: block arrays are (m, N) with each ROW a vector;
+⟨x, y⟩ = conj(x)·y; Gram G[i, j] = ⟨s_i, Op s_j⟩ = (conj(S) @ (Op S).T).
+A new basis with coefficient matrix C (t_β = Σ_i C[i, β] s_i) has rows
+T = C.T @ S and Gram C^H G C.
+
+The operator interface is functional: ``A(X)`` and ``M(X)`` map blocks
+``(m, *dof_shape) -> same shape``; preconditioner ``P(R)`` likewise.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["lobpcg", "LobpcgResult"]
+
+
+class LobpcgResult(NamedTuple):
+    eigenvalues: jax.Array     # (nev,) real, ascending
+    eigenvectors: jax.Array    # (m, *dof_shape) — first nev rows converged
+    iterations: jax.Array      # () int32
+    residual_norms: jax.Array  # (nev,) relative residual norms at exit
+    converged: jax.Array       # (nev,) bool
+
+
+class _Carry(NamedTuple):
+    X: jax.Array
+    AX: jax.Array
+    MX: jax.Array
+    P: jax.Array
+    AP: jax.Array
+    MP: jax.Array
+    res: jax.Array
+    it: jax.Array
+    done: jax.Array
+
+
+def _flatten_op(op, dof_shape):
+    """Lift an op on (*dof_shape,) fields, vmapped over the block axis,
+    to an op on (m, N) matrices."""
+    def f(X):
+        Y = jax.vmap(lambda x: op(x.reshape(dof_shape)))(X)
+        return Y.reshape(X.shape[0], -1)
+    return f
+
+
+def _hermitize(G):
+    return 0.5 * (G + jnp.conj(G.T))
+
+
+def _whiten(G, eps):
+    """C with C^H G C ≈ I on the well-conditioned subspace of the
+    Hermitian PSD Gram G, dropping directions with eigenvalue below
+    ``eps * max`` (DSY-style stabilization). Dropped directions become
+    zero columns; returns (C, good_mask)."""
+    w, V = jnp.linalg.eigh(_hermitize(G))
+    wmax = jnp.maximum(jnp.max(jnp.abs(w)), jnp.finfo(w.dtype).tiny)
+    good = w > eps * wmax
+    inv = jnp.where(good, jax.lax.rsqrt(jnp.where(good, w, 1.0)), 0.0)
+    return V * inv[None, :], good
+
+
+def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
+           maxiter: int = 200, tol: float = 1e-6,
+           precond: Optional[Callable] = None) -> LobpcgResult:
+    """LOBPCG on the Hermitian pencil (A, M) — see module docstring.
+
+    ``X0``: (m, *dof_shape) complex initial block, m >= nev. ``M=None``
+    means identity mass. Relative residual: ‖Ax − λMx‖ / max(|λ|, 1e-3).
+    Traced end-to-end (lax.while_loop): jit/vmap/shard_map-safe; under
+    vmap the loop runs until every batch element converges.
+    """
+    dof_shape = X0.shape[1:]
+    m = X0.shape[0]
+    if nev > m:
+        raise ValueError(f"nev={nev} exceeds block size m={m}")
+    cdtype = X0.dtype
+    rdtype = jnp.finfo(cdtype).dtype
+    eps = jnp.asarray(50.0 * jnp.finfo(rdtype).eps, rdtype)
+
+    Af = _flatten_op(A, dof_shape)
+    Mf = _flatten_op(M, dof_shape) if M is not None else (lambda X: X)
+    Pf = _flatten_op(precond, dof_shape) if precond is not None else None
+
+    X = X0.reshape(m, -1).astype(cdtype)
+
+    def gram(U, V):
+        return jnp.conj(U) @ V.T
+
+    def m_orthonormalize(X, MX):
+        C, _ = _whiten(gram(X, MX), eps)
+        return C.T @ X, C.T @ MX
+
+    X, MX = m_orthonormalize(X, Mf(X))
+    AX = Af(X)
+    zeros = jnp.zeros_like(X)
+    c0 = _Carry(X=X, AX=AX, MX=MX, P=zeros, AP=zeros, MP=zeros,
+                res=jnp.full((m,), jnp.inf, rdtype),
+                it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False))
+
+    def cond(c: _Carry):
+        return jnp.logical_and(c.it < maxiter, jnp.logical_not(c.done))
+
+    def body(c: _Carry):
+        X, AX, MX = c.X, c.AX, c.MX
+        # Ritz values of current (M-orthonormal) X.
+        lam = jnp.real(jnp.sum(jnp.conj(X) * AX, axis=1))
+        R = AX - MX * lam[:, None].astype(cdtype)
+        # Residual scale: per-band |λ|, floored by a fraction of the block
+        # spectrum so zero modes (e.g. the λ=0 band at Γ) can converge.
+        scale = jnp.maximum(jnp.abs(lam),
+                            jnp.maximum(3e-2 * jnp.max(jnp.abs(lam)),
+                                        jnp.asarray(1e-3, rdtype)))
+        rel = jnp.linalg.norm(R, axis=1) / scale
+        conv = rel < tol
+
+        W = Pf(R) if Pf is not None else R
+        # M-project out span(X):  w_i -= Σ_j ⟨x_j, M w_i⟩ x_j.
+        W = W - (jnp.conj(W) @ MX.T).conj() @ X
+        # Soft locking: zero converged rows of W and P (mask, not reshape).
+        mask = jnp.logical_not(conv)[:, None].astype(rdtype)
+        W = W * mask
+        P, AP, MP = c.P * mask, c.AP * mask, c.MP * mask
+
+        AW, MW = Af(W), Mf(W)
+        # Normalize W and P rows to unit M-norm: keeps the S-basis Gram
+        # well-scaled near convergence (else tiny-residual directions fall
+        # below the whitening drop threshold and progress stalls).
+        tiny = jnp.asarray(jnp.finfo(rdtype).tiny, rdtype)
+
+        def rownorm(U, MU):
+            s = jax.lax.rsqrt(jnp.maximum(
+                jnp.real(jnp.sum(jnp.conj(U) * MU, axis=1)), tiny))
+            # Exact-zero (locked) rows stay zero.
+            nz = (jnp.linalg.norm(U, axis=1) > 0).astype(rdtype)
+            return (s * nz)[:, None]
+
+        sw = rownorm(W, MW)
+        sp_ = rownorm(P, MP)
+        W, AW, MW = W * sw, AW * sw, MW * sw
+        P, AP, MP = P * sp_, AP * sp_, MP * sp_
+
+        S = jnp.concatenate([X, W, P], axis=0)          # (3m, N)
+        AS = jnp.concatenate([AX, AW, AP], axis=0)
+        MS = jnp.concatenate([MX, MW, MP], axis=0)
+
+        C, good = _whiten(gram(S, MS), eps)             # (3m, 3m)
+        H = _hermitize(jnp.conj(C.T) @ gram(S, AS) @ C)
+        # Dropped directions: push their Ritz values above the spectrum,
+        # but only moderately — a Gershgorin bound keeps the matrix scale
+        # sane (TPU f32 eigh loses all accuracy on wildly-scaled input).
+        gersh = jnp.max(jnp.sum(jnp.abs(H), axis=1))
+        big = 2.0 * gersh + jnp.asarray(1.0, rdtype)
+        H = H + jnp.diag(jnp.logical_not(good).astype(rdtype) * big)
+        theta, Y = jnp.linalg.eigh(H)                   # ascending
+        Ym = (C @ Y[:, :m]).astype(cdtype)              # coeffs of new X
+        Xn, AXn, MXn = Ym.T @ S, Ym.T @ AS, Ym.T @ MS
+        # Implicit new P: W/P components of the update (X-block zeroed).
+        Yp = Ym.at[:m, :].set(0)
+        Pn, APn, MPn = Yp.T @ S, Yp.T @ AS, Yp.T @ MS
+
+        done = jnp.all(conv[:nev])
+        return _Carry(X=Xn, AX=AXn, MX=MXn, P=Pn, AP=APn, MP=MPn,
+                      res=rel, it=c.it + 1, done=done)
+
+    c = jax.lax.while_loop(cond, body, c0)
+
+    # Final Ritz data on exit state (X is M-orthonormal up to roundoff).
+    nrm = jnp.maximum(jnp.real(jnp.sum(jnp.conj(c.X) * c.MX, axis=1)),
+                      jnp.asarray(jnp.finfo(rdtype).tiny, rdtype))
+    lam = jnp.real(jnp.sum(jnp.conj(c.X) * c.AX, axis=1)) / nrm
+    R = c.AX - c.MX * lam[:, None].astype(cdtype)
+    rel = jnp.linalg.norm(R, axis=1) / jnp.maximum(
+        jnp.abs(lam), jnp.maximum(3e-2 * jnp.max(jnp.abs(lam)),
+                                  jnp.asarray(1e-3, rdtype)))
+    order = jnp.argsort(lam)
+    lam, rel = lam[order], rel[order]
+    Xout = c.X[order]
+    return LobpcgResult(eigenvalues=lam[:nev],
+                        eigenvectors=Xout.reshape(m, *dof_shape),
+                        iterations=c.it,
+                        residual_norms=rel[:nev],
+                        converged=rel[:nev] < tol)

@@ -1,0 +1,164 @@
+"""Matrix-free Bloch-shifted scalar Helmholtz operator on H1.
+
+Implements SURVEY.md App. B.1 (TPU equivalent of mfem-bravais' scalar
+Bloch assembly, SURVEY.md §2.1 #3):
+
+    a_k(u, v) = ∫ α (∇u + i k u) · conj(∇v + i k v) dx   (stiffness A(k))
+    m(u, v)   = ∫ β u conj(v) dx                          (mass M)
+
+as complex partial-assembly (PA) applies — no global matrix is ever
+formed (replacing the reference's CSR assembly + SpMV, SURVEY.md §2.2
+#9). The wavevector ``k`` enters only as a traced scalar-vector, so ONE
+compiled program serves every k-point (SURVEY.md §7.2 item 5).
+
+Layout per App. B.4: gather element dofs (reshape+roll, no indexing) →
+sum-factorized 1D contractions to quadrature values/gradients → pointwise
+complex ops with the constant metric → transposed contractions →
+periodic scatter-add.
+
+Design note: all precomputed state (coefficient qpt values, 1D tables,
+metric) is HOST numpy; it enters jitted applies as embedded constants.
+Device arrays never live on ``self`` — one-time setup costs nothing on
+device, and programs stay portable across backends (the experimental
+axon TPU platform cannot re-materialize device-resident constants).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bravais_tpu.spaces import tensor
+from bravais_tpu.spaces.h1 import H1Space
+
+__all__ = ["BlochHelmholtz", "eval_coefficient"]
+
+CoefLike = Union[float, np.ndarray, Callable[[np.ndarray], np.ndarray]]
+
+
+def eval_coefficient(coef: CoefLike, x: np.ndarray) -> np.ndarray:
+    """Evaluate a scalar coefficient at points ``x`` of shape (..., d)."""
+    if callable(coef):
+        v = np.asarray(coef(x), dtype=np.float64)
+        if v.shape != x.shape[:-1]:
+            raise ValueError(f"coefficient returned shape {v.shape}, "
+                             f"expected {x.shape[:-1]}")
+        return v
+    return np.broadcast_to(np.asarray(coef, dtype=np.float64),
+                           x.shape[:-1]).copy()
+
+
+class BlochHelmholtz:
+    """A(k) and M applies for −(∇+ik)·α(∇+ik)u = λ β u on ``space``.
+
+    ``alpha`` / ``beta`` are scalars or callables x -> value (TM: α=1,
+    β=ε(x); TE: α=1/ε(x), β=1 — App. B.1). ``dtype`` is the complex
+    compute dtype (complex64 on TPU, complex128 for CPU oracles).
+    """
+
+    def __init__(self, space: H1Space, alpha: CoefLike = 1.0,
+                 beta: CoefLike = 1.0, dtype=jnp.complex64):
+        self.space = space
+        self.dtype = jnp.dtype(dtype)
+        self.rdtype = jnp.finfo(self.dtype).dtype  # matching real dtype
+        rd = np.dtype(self.rdtype)
+        d = space.dim
+
+        xq = space.qpoints_phys()                      # (n1,q,...,nd,q,d)
+        self.alpha_q = eval_coefficient(alpha, xq).astype(rd)
+        self.beta_q = eval_coefficient(beta, xq).astype(rd)
+        self.wq = space.quad_weight().astype(rd)
+        self.B = space.basis.B.astype(rd)              # (q, p+1)
+        self.D = space.basis.D.astype(rd)
+        self.Jinv = space.grid.Jinv.astype(rd)
+        self.JinvT = np.ascontiguousarray(self.Jinv.T)
+        self._tabs = [[self.D if r == i else self.B for i in range(d)]
+                      for r in range(d)]
+        self._btabs = [self.B] * d
+        # k-independent diagonal pieces: diag A(k) = diag_S + |k|² diag_Mα;
+        # all real, host-precomputed, used by Jacobi/Chebyshev (App. C.4).
+        self._diag_S, self._diag_Ma = self._build_diagonals()
+        self._diag_M = self._mass_diagonal(self.beta_q)
+
+    # -- applies (pure jax, jit/vmap-safe) ----------------------------------
+
+    def apply_A(self, u: jax.Array, k: jax.Array) -> jax.Array:
+        """y = A(k) u. ``u``: (N_1, ..., N_d) complex; ``k``: (d,) real
+        Cartesian wavevector (traced — no recompilation across k)."""
+        sp = self.space
+        d = sp.dim
+        u = u.astype(self.dtype)
+        k = k.astype(self.rdtype)
+        kb = k.reshape((d,) + (1,) * 2 * d)
+
+        ue = sp.gather(u)
+        uq = tensor.contract(ue, self._btabs)
+        ghat = jnp.stack([tensor.contract(ue, self._tabs[r])
+                          for r in range(d)])
+        g = jnp.einsum("rs,s...->r...", self.JinvT, ghat)  # physical ∇u
+        w = g + 1j * kb * uq                               # (∇ + ik) u
+        f = self.alpha_q * w
+        s = -1j * jnp.sum(kb * f, axis=0)                  # −i k·f
+        fhat = jnp.einsum("rs,s...->r...", self.Jinv, f)   # pull back
+        z = self.wq * fhat
+        y = tensor.contract_t(self.wq * s, self._btabs)
+        for r in range(d):
+            y = y + tensor.contract_t(z[r], self._tabs[r])
+        return sp.scatter_add(y)
+
+    def apply_M(self, u: jax.Array) -> jax.Array:
+        """y = M u (k-independent β-weighted mass)."""
+        sp = self.space
+        u = u.astype(self.dtype)
+        uq = tensor.contract(sp.gather(u), self._btabs)
+        return sp.scatter_add(
+            tensor.contract_t(self.wq * self.beta_q * uq, self._btabs))
+
+    def diag_A(self, k: jax.Array) -> jax.Array:
+        """Real diagonal of A(k) (for Jacobi / Chebyshev scaling)."""
+        k = k.astype(self.rdtype)
+        return jnp.asarray(self._diag_S) + jnp.sum(k * k) * self._diag_Ma
+
+    @property
+    def diag_M(self) -> np.ndarray:
+        return self._diag_M
+
+    # -- host-side diagonal precomputation (NumPy) --------------------------
+
+    def _build_diagonals(self):
+        """diag_S[j] = Σ_q w α Σ_rs Ginv[rs] ĝ_r ĝ_s |_loc(j) and
+        diag_Mα[j] = Σ_q w α φ_j(x_q)² — via squared-table contractions."""
+        sp = self.space
+        d = sp.dim
+        Ginv = sp.grid.Ginv
+        wa = (self.wq * self.alpha_q).astype(np.float64)
+        BB = self.B * self.B
+        args = (sp.grid.shape, (sp.p,) * d, (True,) * d)
+        diag_S = 0.0
+        for r in range(d):
+            for s in range(d):
+                tabs = []
+                for i in range(d):
+                    if i == r and i == s:
+                        tabs.append(self.D * self.D)
+                    elif i == r or i == s:
+                        tabs.append(self.D * self.B)
+                    else:
+                        tabs.append(BB)
+                diag_S = diag_S + Ginv[r, s] * tensor.contract_t_np(wa, tabs)
+        rd = np.dtype(self.rdtype)
+        return (tensor.scatter_add_np(diag_S, *args).astype(rd),
+                tensor.scatter_add_np(tensor.contract_t_np(wa, [BB] * d),
+                                      *args).astype(rd))
+
+    def _mass_diagonal(self, coef_q):
+        sp = self.space
+        d = sp.dim
+        BB = self.B * self.B
+        wb = (self.wq * coef_q).astype(np.float64)
+        return tensor.scatter_add_np(
+            tensor.contract_t_np(wb, [BB] * d), sp.grid.shape,
+            (sp.p,) * d, (True,) * d).astype(np.dtype(self.rdtype))

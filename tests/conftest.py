@@ -17,4 +17,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not honored once the experimental 'axon' TPU plugin
+# registers itself; the config update reliably pins the CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
