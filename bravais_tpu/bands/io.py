@@ -1,0 +1,113 @@
+"""Band-table output, checkpoint/resume, and plotting.
+
+Rebuild of the reference's incremental band-table writing + restart
+(SURVEY.md §5 "Checkpoint / resume"): results land in
+``<run_dir>/bands.npz`` plus a JSON manifest holding the config hash and
+the set of finished k-chunks, so a crashed sweep resumes at the last
+finished chunk (``resume=True``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import pathlib
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["BandWriter", "load_bands", "plot_bands"]
+
+
+def _config_hash(config: Dict) -> str:
+    return hashlib.sha256(
+        json.dumps(config, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+class BandWriter:
+    """Incremental, resumable band-table writer."""
+
+    def __init__(self, run_dir, config: Dict, nk: int, nev: int):
+        self.dir = pathlib.Path(run_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.nk, self.nev = nk, nev
+        self.hash = _config_hash(config)
+        self.manifest_path = self.dir / "manifest.json"
+        self.bands_path = self.dir / "bands.npz"
+        self.manifest = {"config": config, "hash": self.hash, "nk": nk,
+                         "nev": nev, "finished": []}
+        self.eigenvalues = np.full((nk, nev), np.nan)
+        self.iterations = np.zeros(nk, np.int32)
+        self.residuals = np.full((nk, nev), np.nan)
+
+    def try_resume(self) -> List[int]:
+        """Load previous state if the manifest matches this config.
+        Returns the list of finished k indices."""
+        if not (self.manifest_path.exists() and self.bands_path.exists()):
+            return []
+        try:
+            man = json.loads(self.manifest_path.read_text())
+        except json.JSONDecodeError:
+            return []
+        if man.get("hash") != self.hash or man.get("nk") != self.nk:
+            return []
+        dat = np.load(self.bands_path)
+        self.eigenvalues = dat["eigenvalues"]
+        self.iterations = dat["iterations"]
+        self.residuals = dat["residuals"]
+        self.manifest = man
+        return list(man["finished"])
+
+    def write_chunk(self, idx: Sequence[int], eigenvalues, iterations,
+                    residuals) -> None:
+        idx = list(int(i) for i in idx)
+        self.eigenvalues[idx] = np.asarray(eigenvalues)
+        self.iterations[idx] = np.asarray(iterations)
+        self.residuals[idx] = np.asarray(residuals)
+        self.manifest["finished"] = sorted(
+            set(self.manifest["finished"]) | set(idx))
+        np.savez(self.bands_path, eigenvalues=self.eigenvalues,
+                 iterations=self.iterations, residuals=self.residuals)
+        self.manifest_path.write_text(json.dumps(self.manifest, default=str))
+
+    @property
+    def finished(self) -> List[int]:
+        return list(self.manifest["finished"])
+
+
+def load_bands(run_dir):
+    d = pathlib.Path(run_dir)
+    dat = np.load(d / "bands.npz")
+    man = json.loads((d / "manifest.json").read_text())
+    return dat, man
+
+
+def plot_bands(kpath, eigenvalues, path=None, freq: bool = True,
+               title: Optional[str] = None):
+    """Band-diagram plot (ω a / 2πc vs k when ``freq``; λ otherwise).
+    Replaces the reference's GLVis band output (SURVEY.md §2.2 #17)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    y = np.sqrt(np.maximum(eigenvalues, 0.0)) / (2 * np.pi) if freq \
+        else eigenvalues
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    for b in range(y.shape[1]):
+        for s0, s1 in kpath.segments:
+            ax.plot(kpath.dist[s0:s1], y[s0:s1, b], lw=1.2, color="C0")
+    for idx, lab in kpath.labels:
+        ax.axvline(kpath.dist[idx], color="0.85", lw=0.6, zorder=0)
+    ax.set_xticks([kpath.dist[i] for i, _ in kpath.labels])
+    ax.set_xticklabels([lab.replace("G", "Γ") for _, lab in kpath.labels])
+    ax.set_xlim(kpath.dist[0], kpath.dist[-1])
+    ax.set_ylabel("ωa/2πc" if freq else "λ")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        return path
+    return fig

@@ -1,0 +1,212 @@
+"""k-path band sweeps: batched (vmap + sharded) and warm-started modes.
+
+The rebuild of the reference's hot outer loop (SURVEY.md §3.1) per
+App. C.5, with both required regimes:
+
+* **throughput mode** — the whole k-chunk's eigensolves are ONE XLA
+  program: `vmap` over the k axis, k axis sharded across the device mesh
+  (`NamedSharding`), so an entire Brillouin-zone path solves in one
+  launch (the headline win, BASELINE.json:5);
+* **latency / warm-start mode** — sequential k with the eigenvector
+  block warm-started from the previous k-point (adjacent-k subspaces
+  overlap strongly; typically several× fewer iterations).
+
+All jit boundaries are real-valued (axon rule, CLAUDE.md): eigenvector
+state travels between launches as stacked [Re, Im] device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bravais_tpu.eigen.lobpcg import lobpcg
+from bravais_tpu.eigen.precond import jacobi
+from bravais_tpu.eigen.refine import host_rayleigh_ritz
+from bravais_tpu.parallel.mesh import replicated, shard_k
+from bravais_tpu.utils.reim import from_reim, to_reim
+
+__all__ = ["BandSweep", "SweepResult"]
+
+
+@dataclasses.dataclass
+class SweepResult:
+    """Band table for a sampled k-path.
+
+    eigenvalues : (nk, nev) float — λ (scalar) or ω² (Maxwell)
+    iterations  : (nk,) int LOBPCG iterations per k-point
+    residuals   : (nk, nev) relative residual norms
+    wall_s      : total device wall time (excluding compile)
+    compile_s   : time spent in the first (compiling) launch minus steady
+    """
+
+    eigenvalues: np.ndarray
+    iterations: np.ndarray
+    residuals: np.ndarray
+    wall_s: float
+    compile_s: float = 0.0
+
+
+class BandSweep:
+    """Sweep driver over a set of Cartesian k-points.
+
+    Parameters
+    ----------
+    operator : object with ``apply_A(u, k)``, ``apply_M(u)``, ``diag_A(k)``
+               (BlochHelmholtz / BlochCurlCurl) acting on single fields.
+    nev      : number of bands.
+    block    : LOBPCG block size (default nev + max(4, nev//2)).
+    precond  : "jacobi" | None | callable k -> block-preconditioner.
+    """
+
+    def __init__(self, operator, nev: int = 10, block: Optional[int] = None,
+                 tol: float = 1e-6, maxiter: int = 200,
+                 precond="jacobi", seed: int = 0,
+                 solve_fn: Optional[Callable] = None,
+                 refine: Optional[bool] = None):
+        self.op = operator
+        self.nev = nev
+        self.m = block if block is not None else nev + max(4, nev // 2)
+        self.maxiter = maxiter
+        self.precond = precond
+        self.seed = seed
+        self._solve_fn = solve_fn  # override hook (e.g. Maxwell deflation)
+        self._jit_batched = None
+        self._jit_single = None
+        # Precision plan (SURVEY.md §7.0): in f32, converge residuals to
+        # ~1e-5 on device, then one host f64 Rayleigh–Ritz recovers
+        # eigenvalue accuracy ≪1e-6 (residual² error). ``tol`` below the
+        # f32 floor is therefore redirected into the refinement step.
+        is_f32 = jnp.dtype(operator.dtype) == jnp.complex64
+        self.refine = refine if refine is not None else (
+            is_f32 and tol < 1e-4)
+        self.tol = max(tol, 1e-5) if (is_f32 and self.refine) else tol
+
+    # -- single-k solve (real-valued boundary) ------------------------------
+
+    def _make_precond(self, k):
+        if self.precond == "jacobi":
+            return jacobi(self.op.diag_A(k))
+        if callable(self.precond):
+            return self.precond(k)
+        return None
+
+    def _solve(self, X0_reim, k):
+        X0 = from_reim(X0_reim)
+        if self._solve_fn is not None:
+            r = self._solve_fn(self.op, X0, k, self.nev, self.tol,
+                               self.maxiter, self._make_precond(k))
+        else:
+            r = lobpcg(lambda x: self.op.apply_A(x, k), self.op.apply_M,
+                       X0, self.nev, maxiter=self.maxiter, tol=self.tol,
+                       precond=self._make_precond(k))
+        return (r.eigenvalues, r.iterations, r.residual_norms,
+                to_reim(r.eigenvectors))
+
+    def _x0_np(self, dof_shape, rdtype) -> np.ndarray:
+        rng = np.random.default_rng(self.seed)
+        shp = (self.m,) + tuple(dof_shape)
+        return np.stack([rng.standard_normal(shp),
+                         rng.standard_normal(shp)]).astype(rdtype)
+
+    # -- throughput mode ----------------------------------------------------
+
+    def run(self, k_cart: np.ndarray, mesh=None, chunk: Optional[int] = None
+            ) -> SweepResult:
+        """Batched sweep: all k-points vmapped; optionally sharded over
+        ``mesh`` (1D device mesh, axis "k") and split into chunks."""
+        sp = self.op.space
+        rdtype = np.dtype(self.op.rdtype)
+        k_cart = np.asarray(k_cart, rdtype)
+        nk, d = k_cart.shape
+        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        chunk = chunk or nk
+        chunk = max(chunk, ndev)
+
+        nout = 4 if self.refine else 3
+        if self._jit_batched is None:
+            batched = jax.vmap(
+                lambda X0, k: self._solve(X0, k)[:nout], in_axes=(None, 0))
+            if mesh is not None:
+                self._jit_batched = jax.jit(
+                    batched,
+                    in_shardings=(replicated(mesh), shard_k(mesh)),
+                    out_shardings=shard_k(mesh))
+            else:
+                self._jit_batched = jax.jit(batched)
+
+        X0 = jnp.asarray(self._x0_np(
+            getattr(sp, "field_shape", sp.dof_shape), rdtype))
+        lam_all = np.zeros((0, self.nev), rdtype)
+        its_all = np.zeros((0,), np.int32)
+        res_all = np.zeros((0, self.nev), rdtype)
+        wall = compile_s = 0.0
+        first = True
+        for s in range(0, nk, chunk):
+            ks = k_cart[s:s + chunk]
+            pad = (-len(ks)) % ndev
+            if pad:
+                ks = np.concatenate([ks, np.repeat(ks[-1:], pad, axis=0)])
+            t0 = time.time()
+            out = self._jit_batched(X0, jnp.asarray(ks))
+            lam, its, res = (np.asarray(o) for o in out[:3])
+            dt = time.time() - t0
+            if first:
+                compile_s, first = dt, False
+            else:
+                wall += dt
+            nkeep = len(k_cart[s:s + chunk])
+            if self.refine:
+                X_reims = np.asarray(out[3])  # (nk_pad, 2, m, *dof)
+                for j in range(nkeep):
+                    lam[j, :self.nev], res[j, :self.nev] = \
+                        host_rayleigh_ritz(self.op, X_reims[j],
+                                           ks[j], self.nev)
+            lam_all = np.concatenate([lam_all, lam[:nkeep]])
+            its_all = np.concatenate([its_all,
+                                      np.asarray(its)[:nkeep].astype(np.int32)])
+            res_all = np.concatenate([res_all, np.asarray(res)[:nkeep]])
+        return SweepResult(lam_all, its_all, res_all, wall_s=wall,
+                           compile_s=compile_s)
+
+    # -- latency / warm-start mode ------------------------------------------
+
+    def run_warm(self, k_cart: np.ndarray) -> SweepResult:
+        """Sequential sweep warm-starting each k from the previous
+        eigenvector block (App. C.5 regime b)."""
+        sp = self.op.space
+        rdtype = np.dtype(self.op.rdtype)
+        k_cart = np.asarray(k_cart, rdtype)
+
+        if self._jit_single is None:
+            self._jit_single = jax.jit(self._solve)
+
+        X0 = jnp.asarray(self._x0_np(
+            getattr(sp, "field_shape", sp.dof_shape), rdtype))
+        lams, itss, ress = [], [], []
+        wall = compile_s = 0.0
+        for i, k in enumerate(k_cart):
+            t0 = time.time()
+            lam, its, res, X_reim = self._jit_single(X0, jnp.asarray(k))
+            lam = np.asarray(lam)
+            res = np.asarray(res)
+            if self.refine:
+                lam, res = host_rayleigh_ritz(self.op, np.asarray(X_reim),
+                                              k, self.nev)
+            dt = time.time() - t0
+            if i == 0:
+                compile_s = dt
+            else:
+                wall += dt
+            lams.append(lam)
+            itss.append(int(its))
+            ress.append(res)
+            X0 = X_reim  # stays on device; real-stacked (axon rule)
+        return SweepResult(np.asarray(lams), np.asarray(itss, np.int32),
+                           np.asarray(ress), wall_s=wall,
+                           compile_s=compile_s)

@@ -1,0 +1,129 @@
+"""Band-structure driver app — the rebuild of the reference's CLI
+binaries (SURVEY.md §2.1 #7, call stack §3.1).
+
+    python -m bravais_tpu.cli.bands_app --lattice SQR --problem tm \
+        --eps-in 8.9 --radius 0.2 --n 16 --p 3 --nk 48 --nev 8 \
+        --out results/sq_tm --plot
+
+Wires config -> lattice -> mesh -> operator -> k-sweep -> band table
+(+ checkpoint/resume, structured per-k logging, optional plot).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_problem(cfg):
+    """Config -> (lattice, kpath, operator, solve extras)."""
+    import jax.numpy as jnp  # noqa: F401  (dtype selection)
+    from bravais_tpu.lattices import kpath, make_lattice
+    from bravais_tpu.meshing.grid import PeriodicGrid
+    from bravais_tpu.operators.coefficients import dielectric_rod
+    from bravais_tpu.operators.helmholtz import BlochHelmholtz
+    from bravais_tpu.spaces.h1 import H1Space
+
+    lat = make_lattice(cfg.lattice, **cfg.lattice_kwargs())
+    kp = kpath(lat, npts=cfg.nk, path=cfg.path)
+    grid = PeriodicGrid.make(lat, cfg.n)
+
+    if cfg.problem in ("tm", "te", "scalar"):
+        sp = H1Space.make(grid, cfg.p, cfg.quad)
+        if cfg.radius > 0:
+            center = 0.5 * lat.A.sum(axis=0)
+            eps = dielectric_rod(cfg.eps_in, cfg.eps_out, cfg.radius * cfg.a,
+                                 center, lat.A, cfg.smooth_width)
+        else:
+            eps = cfg.eps_out
+        if cfg.problem == "te":
+            # TE (H_z): alpha = 1/eps, beta = 1  (SURVEY.md App. B.1)
+            inv = (lambda x: 1.0 / eps(x)) if callable(eps) else 1.0 / eps
+            op = BlochHelmholtz(sp, alpha=inv, beta=1.0, dtype=cfg.dtype)
+        else:
+            # TM (E_z) / generic scalar: alpha = 1, beta = eps
+            op = BlochHelmholtz(sp, alpha=1.0, beta=eps, dtype=cfg.dtype)
+        return lat, kp, op
+    if cfg.problem == "maxwell":
+        from bravais_tpu.operators.curlcurl import BlochCurlCurl
+        from bravais_tpu.spaces.nedelec import NedelecSpace
+        from bravais_tpu.operators.coefficients import dielectric_sphere
+        sp = NedelecSpace.make(grid, cfg.p, cfg.quad)
+        if cfg.radius > 0:
+            center = 0.5 * lat.A.sum(axis=0)
+            eps = dielectric_sphere(cfg.eps_in, cfg.eps_out,
+                                    cfg.radius * cfg.a, center, lat.A,
+                                    cfg.smooth_width)
+        else:
+            eps = cfg.eps_out
+        op = BlochCurlCurl(sp, eps=eps, dtype=cfg.dtype)
+        return lat, kp, op
+    raise ValueError(f"unknown problem {cfg.problem!r}")
+
+
+def run(cfg, log=print):
+    import numpy as np
+    from bravais_tpu.bands import BandSweep, BandWriter, plot_bands
+    from bravais_tpu.parallel.mesh import kpoint_mesh
+
+    t0 = time.time()
+    lat, kp, op = build_problem(cfg)
+    log(f"# {lat.variant}: {op.space.ndofs} dofs, {kp.nk} k-points, "
+        f"nev={cfg.nev}, tol={cfg.tol:g}, {cfg.precision}")
+
+    solve_fn = getattr(op, "make_solve_fn", lambda: None)()
+    sweep = BandSweep(op, nev=cfg.nev, block=cfg.block, tol=cfg.tol,
+                      maxiter=cfg.maxiter, precond=cfg.precond,
+                      seed=cfg.seed, solve_fn=solve_fn)
+
+    writer = None
+    if cfg.out:
+        writer = BandWriter(cfg.out, cfg.identity_dict(), kp.nk, cfg.nev)
+        finished = writer.try_resume() if cfg.resume else []
+    else:
+        finished = []
+    todo = [i for i in range(kp.nk) if i not in set(finished)]
+    if not todo:
+        log("# all k-points already finished (resume)")
+        return writer
+
+    mesh = kpoint_mesh() if cfg.shard else None
+    kcart = kp.k_cart[todo]
+    res = (sweep.run_warm(kcart) if cfg.mode == "warm"
+           else sweep.run(kcart, mesh=mesh))
+
+    for j, i in enumerate(todo):
+        lamj = res.eigenvalues[j]
+        log(json.dumps({"k_index": i,
+                        "k_frac": [round(float(x), 6) for x in kp.k_frac[i]],
+                        "iters": int(res.iterations[j]),
+                        "max_rel_res": float(np.max(res.residuals[j])),
+                        "eigenvalues": [float(v) for v in lamj]}))
+    if writer is not None:
+        writer.write_chunk(todo, res.eigenvalues, res.iterations,
+                           res.residuals)
+        if cfg.plot:
+            import pathlib
+            dat = writer.eigenvalues
+            plot_bands(kp, dat,
+                       path=pathlib.Path(cfg.out) / "bands.png",
+                       title=f"{lat.variant} {cfg.problem.upper()}")
+    log(f"# done: compile {res.compile_s:.1f}s, steady {res.wall_s:.2f}s, "
+        f"total {time.time() - t0:.1f}s, "
+        f"mean iters {float(np.mean(res.iterations)):.1f}")
+    return writer
+
+
+def main(argv=None):
+    from bravais_tpu.cli.config import RunConfig
+    ap = argparse.ArgumentParser(description=__doc__)
+    RunConfig.add_cli_args(ap)
+    cfg = RunConfig.from_cli_args(ap.parse_args(argv))
+    run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,144 @@
+"""Batched Hermitian eigensolver via cyclic (round-robin) Jacobi.
+
+Replaces ``jnp.linalg.eigh`` inside the LOBPCG Rayleigh–Ritz on TPU, for
+two measured reasons (see SURVEY.md §7.2 item 1 context):
+
+1. **Accuracy.** XLA's TPU eigh (QDWH) loses the LOW eigenvalues of
+   matrices with a wide spectral range in f32 — measured 7e-5 relative
+   at 1e3 range and 0.15 at 1e6 — exactly the shape of a Rayleigh–Ritz
+   matrix whose W-block carries Rayleigh quotients up to λ_max(A).
+   Two-sided Jacobi inherits the graded-matrix relative accuracy of
+   Demmel–Veselić: rotations compare entries locally, so small
+   eigenvalues survive a large ‖H‖.
+2. **Compile time.** QDWH lowering dominates the minutes-long axon
+   remote compiles; the Jacobi kernel is a fori_loop of small matmuls.
+
+Algorithm: fixed ``sweeps`` of n−1 round-robin rounds; each round
+applies n/2 disjoint complex Givens rotations simultaneously as one
+n×n rotation matrix (3 small matmuls) — batched/vmap-friendly, static
+shapes. Converges quadratically; 10 sweeps is ample for n ≤ 64 in f32.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["jacobi_eigh"]
+
+
+@lru_cache(maxsize=None)
+def _round_robin_schedule(n: int) -> np.ndarray:
+    """(n-1, 2, n//2) int32: per round, the (top, bottom) index rows of
+    the classic circle-method tournament pairing. n must be even."""
+    assert n % 2 == 0
+    others = list(range(1, n))
+    rounds = []
+    for r in range(n - 1):
+        rot = others[r:] + others[:r]
+        lst = [0] + rot
+        top = lst[: n // 2]
+        bot = lst[n // 2:][::-1]
+        rounds.append([top, bot])
+    return np.asarray(rounds, dtype=np.int32)
+
+
+def jacobi_eigh(H: jax.Array, sweeps: int = 24):
+    """Eigendecomposition of a Hermitian matrix (..., n, n).
+
+    Returns (w, V): w (..., n) real ascending, V (..., n, n) with
+    columns the eigenvectors, H ≈ V diag(w) Vᴴ. Odd n is padded
+    internally. Pure jax; jit/vmap-safe. Runs until the off-diagonal
+    Frobenius mass drops below ~eps·‖H‖ or ``sweeps`` sweeps (cap —
+    ill-conditioned whitening Grams genuinely need >10).
+    """
+    n0 = H.shape[-1]
+    cdtype = H.dtype
+    rdtype = jnp.finfo(cdtype).dtype
+    n = n0 + (n0 % 2)
+    if n != n0:
+        # Pad with a DECOUPLED row/col (zero off-diagonals, so every
+        # rotation touching it is the identity) whose diagonal exceeds
+        # the spectrum (Gershgorin) — it sorts last and is sliced off.
+        big = 2.0 * jnp.max(jnp.sum(jnp.abs(H), axis=-1)) + 1.0
+        pad = [(0, 0)] * (H.ndim - 2) + [(0, 1), (0, 1)]
+        H = jnp.pad(H, pad)
+        idx = (Ellipsis, n0, n0)
+        H = H.at[idx].set(big.astype(cdtype))
+
+    sched = jnp.asarray(_round_robin_schedule(n))  # (n-1, 2, n/2)
+    eye = jnp.eye(n, dtype=cdtype)
+    batch_shape = H.shape[:-2]
+    V = jnp.broadcast_to(eye, batch_shape + (n, n))
+
+    def one_round(HV, tb):
+        H, V = HV
+        top, bot = tb[0], tb[1]
+        p = jnp.minimum(top, bot)
+        q = jnp.maximum(top, bot)
+        app = jnp.real(H[..., p, p])               # (..., n/2)
+        aqq = jnp.real(H[..., q, q])
+        apq = H[..., p, q]
+        absa = jnp.abs(apq)
+        tiny = jnp.asarray(jnp.finfo(rdtype).tiny, rdtype) * 100
+        safe = absa > tiny
+        phase = jnp.where(safe, apq / jnp.where(safe, absa, 1.0), 1.0 + 0j)
+        tau = (aqq - app) / (2.0 * jnp.where(safe, absa, 1.0))
+        # sign(0) must be +1 here (τ=0 ⇒ the full 45° rotation).
+        sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(rdtype)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(safe, t, 0.0)
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = (t * c).astype(cdtype) * phase         # complex sine
+        cc = c.astype(cdtype)
+        # Rotation R = I with R[p,p]=c, R[q,q]=c, R[p,q]=s, R[q,p]=-s̄
+        # (columns p,q mixed); applied as H <- Rᴴ H R, V <- V R.
+        R = jnp.broadcast_to(eye, H.shape)
+        bidx = (Ellipsis,)
+        R = R.at[bidx + (p, p)].set(cc)
+        R = R.at[bidx + (q, q)].set(cc)
+        R = R.at[bidx + (p, q)].set(s)
+        R = R.at[bidx + (q, p)].set(-jnp.conj(s))
+        RH = jnp.conj(jnp.swapaxes(R, -1, -2))
+        Hn = RH @ H @ R
+        Vn = V @ R
+        # Re-hermitize the touched structure cheaply.
+        Hn = 0.5 * (Hn + jnp.conj(jnp.swapaxes(Hn, -1, -2)))
+        return (Hn, Vn), None
+
+    eps2 = jnp.asarray(jnp.finfo(rdtype).eps, rdtype) ** 2
+
+    def not_done(state):
+        # Relative (Rutishauser) criterion: converged when every
+        # |H_ij|² ≤ eps² |H_ii H_jj|. Absolute criteria are NOT enough:
+        # whitening divides by sqrt(w), amplifying absolute-level
+        # residual couplings between small and large eigenvalues.
+        H, V, i = state
+        d = jnp.abs(jnp.diagonal(H, axis1=-2, axis2=-1))
+        tiny = jnp.asarray(jnp.finfo(rdtype).tiny, rdtype) * 1e6
+        dd = jnp.maximum(d[..., :, None] * d[..., None, :], tiny)
+        ratio = jnp.abs(H) ** 2 / dd
+        n_ = H.shape[-1]
+        offmask = 1.0 - jnp.eye(n_, dtype=rdtype)
+        worst = jnp.max(ratio * offmask)
+        return jnp.logical_and(i < sweeps, worst > eps2)
+
+    def one_sweep(state):
+        H, V, i = state
+        (H, V), _ = jax.lax.scan(one_round, (H, V), sched)
+        return (H, V, i + 1)
+
+    H, V, _ = jax.lax.while_loop(not_done, one_sweep,
+                                 (H, V, jnp.asarray(0, jnp.int32)))
+
+    w = jnp.real(jnp.diagonal(H, axis1=-2, axis2=-1))
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    if n != n0:  # drop the decoupled pad (sorted last; e_{n0} vector)
+        w = w[..., :n0]
+        V = V[..., :n0, :n0]
+    return w, V

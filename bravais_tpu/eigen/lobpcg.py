@@ -29,6 +29,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from bravais_tpu.eigen.jacobi_eigh import jacobi_eigh
+
 __all__ = ["lobpcg", "LobpcgResult"]
 
 
@@ -70,7 +72,7 @@ def _whiten(G, eps):
     Hermitian PSD Gram G, dropping directions with eigenvalue below
     ``eps * max`` (DSY-style stabilization). Dropped directions become
     zero columns; returns (C, good_mask)."""
-    w, V = jnp.linalg.eigh(_hermitize(G))
+    w, V = jacobi_eigh(_hermitize(G))
     wmax = jnp.maximum(jnp.max(jnp.abs(w)), jnp.finfo(w.dtype).tiny)
     good = w > eps * wmax
     inv = jnp.where(good, jax.lax.rsqrt(jnp.where(good, w, 1.0)), 0.0)
@@ -169,7 +171,7 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         gersh = jnp.max(jnp.sum(jnp.abs(H), axis=1))
         big = 2.0 * gersh + jnp.asarray(1.0, rdtype)
         H = H + jnp.diag(jnp.logical_not(good).astype(rdtype) * big)
-        theta, Y = jnp.linalg.eigh(H)                   # ascending
+        theta, Y = jacobi_eigh(H)                       # ascending
         Ym = (C @ Y[:, :m]).astype(cdtype)              # coeffs of new X
         Xn, AXn, MXn = Ym.T @ S, Ym.T @ AS, Ym.T @ MS
         # Implicit new P: W/P components of the update (X-block zeroed).

@@ -1,0 +1,394 @@
+"""Matrix-free Bloch Maxwell curl-curl operator on tensor Nédélec —
+QUASI-PERIODIC formulation.
+
+SURVEY.md App. B.2 (TPU equivalent of the reference's Maxwell assembly,
+§2.1 #4). The Bloch problem is realized the way the reference's MFEM
+stack realizes it (phased periodic dof identification, §3.2) rather
+than by shifting the operator: fields satisfy u(x + a_i) = e^{i k·a_i}
+u(x), the operator is the PLAIN curl-curl
+
+    a(u, v) = ∫ μ⁻¹ (∇×u)·conj(∇×v),   m(u, v) = ∫ ε u·conj(v),
+
+and k enters ONLY through the wrap phases φ_i = e^{i k·a_i} in the
+element gather/scatter (traced scalars — one compiled program serves
+every k-point).
+
+Why this and not the shifted-operator form: with the shift, the discrete
+near-kernel is not the image of any computable discrete gradient —
+deflation leaks "ghost" eigenvalues into the physical spectrum
+(measured: a ghost at 1.003 below the first band 3.356 at n=4, p=2).
+In the quasi-periodic form the twisted discrete de Rham sequence is
+EXACT: kernel(curl) = ∇ H1_qp for every k not in the reciprocal lattice,
+so divergence-projection deflation (App. C.3) removes the entire
+nullspace exactly. At k = Γ the three harmonic constants remain (the
+physical ω→0 limit + one gauge mode); sweeps nudge exact-Γ points by an
+infinitesimal k (the standard planewave-code practice).
+
+Covariant transforms with the constant Jacobian J: u_phys = J^{-T} û,
+curl_phys = J curl̂(û)/det J (App. C.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bravais_tpu.operators.helmholtz import CoefLike, eval_coefficient
+from bravais_tpu.spaces import tensor
+from bravais_tpu.spaces.h1 import H1Space
+from bravais_tpu.spaces.nedelec import NedelecSpace
+
+__all__ = ["BlochCurlCurl"]
+
+_CYC = ((0, 1, 2), (1, 2, 0), (2, 0, 1))  # (r, s, t) cyclic triples
+
+
+class BlochCurlCurl:
+    """A(k), M applies and exact gradient-deflation ops for
+    (∇+ik)×μ⁻¹(∇+ik)× u = ω² ε u, realized quasi-periodically on
+    ``space`` (NedelecSpace). Fields: (3, N1, N2, N3) complex."""
+
+    def __init__(self, space: NedelecSpace, eps: CoefLike = 1.0,
+                 mu_inv: CoefLike = 1.0, dtype=jnp.complex64):
+        self.space = space
+        self.dtype = jnp.dtype(dtype)
+        self.rdtype = jnp.finfo(self.dtype).dtype
+        rd = np.dtype(self.rdtype)
+
+        xq = space.qpoints_phys()
+        self._eps_q64 = eval_coefficient(eps, xq)
+        self._mu_inv_q64 = eval_coefficient(mu_inv, xq)
+        self.eps_q = self._eps_q64.astype(rd)
+        self.mu_inv_q = self._mu_inv_q64.astype(rd)
+        self.wq = space.quad_weight().astype(rd)
+        g = space.grid
+        self.A_rows = g.lattice.A.astype(np.float64)   # rows a_i
+        self.J = g.J.astype(rd)
+        self.Jinv = g.Jinv.astype(rd)
+        self.Ginv = g.Ginv.astype(rd)
+        self.detJs = float(np.linalg.det(g.J))
+        # Companion scalar H1 space (same grid/order/quadrature) for the
+        # deflation solve's Jacobi diagonal (k=0 Laplacian-with-ε diag).
+        from bravais_tpu.operators.helmholtz import BlochHelmholtz
+        self.h1 = H1Space.make(g, space.p, space.q)
+        self._helm = BlochHelmholtz(self.h1, alpha=eps, beta=eps,
+                                    dtype=dtype)
+        self._h1_diag0 = np.maximum(
+            np.asarray(self._helm.diag_A(jnp.zeros(3))), 1e-12)
+        self._diag_A, self._diag_M = self._build_diagonals()
+
+    # -- phases --------------------------------------------------------------
+
+    def phases(self, k):
+        """φ_i = e^{i k·a_i} for the three primitive directions (traced)."""
+        ka = jnp.asarray(self.A_rows.astype(self.rdtype)) @ k.astype(
+            self.rdtype)
+        return jnp.exp(1j * ka).astype(self.dtype)
+
+    # -- element restriction -------------------------------------------------
+
+    def _gather(self, u, c, ph):
+        sp = self.space
+        return tensor.gather_qp(u, sp.grid.shape, (sp.p,) * 3,
+                                sp.flags(c), ph)
+
+    def _scatter(self, r, c, ph):
+        sp = self.space
+        return tensor.scatter_add_qp(r, sp.grid.shape, (sp.p,) * 3,
+                                     sp.flags(c), ph)
+
+    # -- applies -------------------------------------------------------------
+
+    def _tables(self):
+        sp = self.space
+        if not hasattr(self, "_tab_cache"):
+            rd = np.dtype(self.rdtype)
+            self._tab_cache = {
+                "val": [[t.astype(rd) for t in sp.value_tables(c)]
+                        for c in range(3)],
+                "der": [[[t.astype(rd) for t in sp.deriv_tables(c, s)]
+                         for s in range(3)] for c in range(3)],
+            }
+        return self._tab_cache
+
+    def apply_A(self, u: jax.Array, k: jax.Array) -> jax.Array:
+        """y = A(k) u (plain curl-curl; k only in the wrap phases)."""
+        sp = self.space
+        u = u.astype(self.dtype)
+        ph = self.phases(k)
+        tabs = self._tables()
+        ue = [self._gather(u[c], c, ph) for c in range(3)]
+        chat = []
+        for r, s, t in _CYC:
+            chat.append(tensor.contract(ue[t], tabs["der"][t][s])
+                        - tensor.contract(ue[s], tabs["der"][s][t]))
+        chat = jnp.stack(chat)
+        cph = jnp.einsum("rs,s...->r...", self.J, chat) / self.detJs
+        f = (self.mu_inv_q * self.wq) * cph
+        cf = jnp.einsum("sr,s...->r...", self.J, f) / self.detJs
+        y = [0.0, 0.0, 0.0]
+        for r, s, t in _CYC:
+            y[t] = y[t] + tensor.contract_t(cf[r], tabs["der"][t][s])
+            y[s] = y[s] - tensor.contract_t(cf[r], tabs["der"][s][t])
+        return jnp.stack([self._scatter(y[c], c, ph) for c in range(3)])
+
+    def apply_M(self, u: jax.Array, k: jax.Array = None,
+                ph=None) -> jax.Array:
+        """y = M u. Mass also wraps with phases; pass ``k`` (or
+        precomputed ``ph``) — required for Hermiticity of the pencil."""
+        sp = self.space
+        u = u.astype(self.dtype)
+        if ph is None:
+            ph = (self.phases(k) if k is not None
+                  else (None, None, None))
+        tabs = self._tables()
+        ue = [self._gather(u[c], c, ph) for c in range(3)]
+        uhat = jnp.stack([tensor.contract(ue[c], tabs["val"][c])
+                          for c in range(3)])
+        g = (self.eps_q * self.wq) * jnp.einsum("rs,s...->r...",
+                                                jnp.asarray(self.Ginv),
+                                                uhat)
+        y = [tensor.contract_t(g[c], tabs["val"][c]) for c in range(3)]
+        return jnp.stack([self._scatter(y[c], c, ph) for c in range(3)])
+
+    # -- host f64 twins (refinement) ----------------------------------------
+
+    def _np_phases(self, k):
+        return np.exp(1j * (self.A_rows @ np.asarray(k, np.float64)))
+
+    def _apply_np(self, u, k, which):
+        """f64 host apply via a phase-twisted numpy path."""
+        sp = self.space
+        ph = self._np_phases(k)
+        u = np.asarray(u, np.complex128)
+        Bc, Dc = sp.closed.B, sp.closed.D
+        Bo, Do = sp.open.B, sp.open.D
+
+        def gath(uc, c):
+            out = uc
+            for i in range(3):
+                ax = 2 * i
+                shape = out.shape
+                n, p = sp.grid.shape[i], sp.p
+                if i == c:
+                    out = out.reshape(*shape[:ax], n, p, *shape[ax + 1:])
+                else:
+                    out = out.reshape(*shape[:ax], n, p, *shape[ax + 1:])
+                    first = np.take(out, [0], axis=ax + 1)
+                    rolled = np.roll(first, -1, axis=ax)
+                    sel = [slice(None)] * rolled.ndim
+                    sel[ax] = slice(n - 1, n)
+                    rolled[tuple(sel)] = rolled[tuple(sel)] * ph[i]
+                    out = np.concatenate([out, rolled], axis=ax + 1)
+            return out
+
+        def scat(rc, c):
+            out = rc
+            for i in reversed(range(3)):
+                ax = 2 * i
+                n, p = sp.grid.shape[i], sp.p
+                if i == c:
+                    shape = out.shape
+                    out = out.reshape(*shape[:ax], n * p, *shape[ax + 2:])
+                else:
+                    main = np.take(out, range(p), axis=ax + 1).copy()
+                    last = np.take(out, [p], axis=ax + 1)
+                    rolled = np.roll(last, 1, axis=ax)
+                    sel = [slice(None)] * rolled.ndim
+                    sel[ax] = slice(0, 1)
+                    rolled[tuple(sel)] = rolled[tuple(sel)] * np.conj(ph[i])
+                    idx = (slice(None),) * (ax + 1) + (0,)
+                    main[idx] += np.squeeze(rolled, axis=ax + 1)
+                    shape = main.shape
+                    out = main.reshape(*shape[:ax], n * p, *shape[ax + 2:])
+            return out
+
+        def vtab(c):
+            return [Bo if i == c else Bc for i in range(3)]
+
+        def dtab(c, s):
+            out = []
+            for i in range(3):
+                if i == c:
+                    out.append(Do if i == s else Bo)
+                else:
+                    out.append(Dc if i == s else Bc)
+            return out
+
+        ue = [gath(u[c], c) for c in range(3)]
+        wq = sp.quad_weight()
+        if which == "M":
+            uhat = np.stack([tensor.contract_np(ue[c], vtab(c))
+                             for c in range(3)])
+            g = (self._eps_q64 * wq) * np.einsum(
+                "rs,s...->r...", sp.grid.Ginv, uhat)
+            y = [tensor.contract_t_np(g[c], vtab(c)) for c in range(3)]
+            return np.stack([scat(y[c], c) for c in range(3)])
+        chat = []
+        for r, s, t in _CYC:
+            chat.append(tensor.contract_np(ue[t], dtab(t, s))
+                        - tensor.contract_np(ue[s], dtab(s, t)))
+        chat = np.stack(chat)
+        cph = np.einsum("rs,s...->r...", sp.grid.J, chat) / self.detJs
+        f = (self._mu_inv_q64 * wq) * cph
+        cf = np.einsum("sr,s...->r...", sp.grid.J, f) / self.detJs
+        y = [0.0, 0.0, 0.0]
+        for r, s, t in _CYC:
+            y[t] = y[t] + tensor.contract_t_np(cf[r], dtab(t, s))
+            y[s] = y[s] - tensor.contract_t_np(cf[r], dtab(s, t))
+        return np.stack([scat(y[c], c) for c in range(3)])
+
+    def apply_A_np(self, u, k):
+        return self._apply_np(u, k, "A")
+
+    def apply_M_np(self, u, k=None):
+        # k is needed for the phase wrap; refine passes it positionally
+        # via a partial bound in host_rayleigh_ritz (see refine module).
+        if k is None:
+            raise ValueError("apply_M_np requires k (quasi-periodic mass)")
+        return self._apply_np(u, k, "M")
+
+    # ------------------------------------------------------------------
+    # Discrete gradient G (exact: ∇ H1_qp ⊂ ND_qp) and deflation
+    # ------------------------------------------------------------------
+
+    def apply_Gk(self, phi: jax.Array, k: jax.Array) -> jax.Array:
+        """∇φ : quasi-periodic H1 scalar -> ND field (exact)."""
+        sp = self.space
+        phi = phi.astype(self.dtype)
+        ph = self.phases(k)
+        Dn = jnp.asarray(sp.Dnode.astype(np.dtype(self.rdtype)))
+        out = []
+        for c in range(3):
+            g = tensor.gather_axis(phi, c, sp.grid.shape[c], sp.p, ph[c])
+            d = jnp.moveaxis(
+                jnp.tensordot(Dn, g, axes=((1,), (c + 1,))), 0, c + 1)
+            shape = d.shape
+            out.append(d.reshape(*shape[:c], sp.grid.shape[c] * sp.p,
+                                 *shape[c + 2:]))
+        return jnp.stack(out)
+
+    def apply_GkH(self, u: jax.Array, k: jax.Array) -> jax.Array:
+        sp = self.space
+        u = u.astype(self.dtype)
+        ph = self.phases(k)
+        Dn = jnp.asarray(sp.Dnode.astype(np.dtype(self.rdtype)))
+        acc = 0.0
+        for c in range(3):
+            shape = u[c].shape
+            r = u[c].reshape(*shape[:c], sp.grid.shape[c], sp.p,
+                             *shape[c + 1:])
+            d = jnp.moveaxis(
+                jnp.tensordot(Dn, r, axes=((0,), (c + 1,))), 0, c + 1)
+            acc = acc + tensor.scatter_add_axis(d, c, sp.grid.shape[c],
+                                                sp.p, ph[c])
+        return acc
+
+    def apply_Lk(self, phi: jax.Array, k: jax.Array) -> jax.Array:
+        """L φ = Gᴴ M_ε G φ — the quasi-periodic ε-weighted Laplacian."""
+        return self.apply_GkH(self.apply_M(self.apply_Gk(phi, k), k), k)
+
+    def project_out_gradients(self, u: jax.Array, k: jax.Array,
+                              cg_iters: int = 25) -> jax.Array:
+        """u ← u − G L⁻¹ Gᴴ M u (App. C.3). EXACT deflation of the
+        gradient nullspace (up to the CG tolerance); L solved by fixed
+        Jacobi-preconditioned CG. At Γ, L's constant nullspace is
+        harmless: the rhs is consistent and G(const) = 0."""
+        rhs = self.apply_GkH(self.apply_M(u, k), k)
+        dpc = jnp.asarray(self._h1_diag0)
+
+        def body(i, st):
+            x, r, p, rz = st
+            Ap = self.apply_Lk(p, k)
+            denom = jnp.vdot(p, Ap)
+            alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = r / dpc
+            rz_new = jnp.vdot(r, z)
+            beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+            return x, r, z + beta * p, rz_new
+
+        x0 = jnp.zeros_like(rhs)
+        z0 = rhs / dpc
+        phi = jax.lax.fori_loop(
+            0, cg_iters, body, (x0, rhs, z0, jnp.vdot(rhs, z0)))[0]
+        return u - self.apply_Gk(phi, k)
+
+    def make_solve_fn(self, cg_iters: int = 25) -> Callable:
+        """Solve hook for BandSweep: deflated LOBPCG (projection applied
+        to the initial block and inside the preconditioner)."""
+        from bravais_tpu.eigen.lobpcg import lobpcg
+
+        def solve(op, X0, k, nev, tol, maxiter, precond):
+            proj = partial(op.project_out_gradients, k=k,
+                           cg_iters=cg_iters)
+            X0p = jax.vmap(proj)(X0)
+
+            def pc(R):
+                W = precond(R) if precond is not None else R
+                return proj(W)
+
+            return lobpcg(lambda x: op.apply_A(x, k),
+                          lambda x: op.apply_M(x, k), X0p,
+                          nev, maxiter=maxiter, tol=tol, precond=pc)
+
+        return solve
+
+    # ------------------------------------------------------------------
+    # diagonals (k-independent: |phase| = 1)
+    # ------------------------------------------------------------------
+
+    def diag_A(self, k: jax.Array = None) -> jax.Array:
+        return jnp.asarray(self._diag_A)
+
+    @property
+    def diag_M(self) -> np.ndarray:
+        return self._diag_M
+
+    def _build_diagonals(self):
+        sp = self.space
+        rd = np.dtype(self.rdtype)
+        wmu = sp.quad_weight() * self._mu_inv_q64
+        weps = sp.quad_weight() * self._eps_q64
+        Bo, Do = sp.open.B, sp.open.D
+        Bc, Dc = sp.closed.B, sp.closed.D
+        J = sp.grid.J
+        JtJ = J.T @ J
+        det2 = np.linalg.det(J) ** 2
+        eye = np.eye(3)
+
+        def scat(r, c):
+            return tensor.scatter_add_np(r, sp.grid.shape, (sp.p,) * 3,
+                                         sp.flags(c))
+
+        diag_A = []
+        diag_M = []
+        for c in range(3):
+            dcurl = 0.0
+            for s in range(3):
+                for s2 in range(3):
+                    if s == c or s2 == c:
+                        continue
+                    Kss = (np.cross(eye[s], eye[c]) @ JtJ
+                           @ np.cross(eye[s2], eye[c])) / det2
+                    tabs = []
+                    for i in range(3):
+                        if i == c:
+                            a = Do if s == i else Bo
+                            b = Do if s2 == i else Bo
+                        else:
+                            a = Dc if s == i else Bc
+                            b = Dc if s2 == i else Bc
+                        tabs.append(a * b)
+                    dcurl = dcurl + Kss * tensor.contract_t_np(wmu, tabs)
+            diag_A.append(scat(dcurl, c))
+            Gcc = sp.grid.Ginv[c, c]
+            btabs = [(Bo * Bo) if i == c else (Bc * Bc) for i in range(3)]
+            diag_M.append(scat(Gcc * tensor.contract_t_np(weps, btabs), c))
+        return (np.stack(diag_A).real.astype(rd),
+                np.stack(diag_M).real.astype(rd))

@@ -68,8 +68,10 @@ class BlochHelmholtz:
         d = space.dim
 
         xq = space.qpoints_phys()                      # (n1,q,...,nd,q,d)
-        self.alpha_q = eval_coefficient(alpha, xq).astype(rd)
-        self.beta_q = eval_coefficient(beta, xq).astype(rd)
+        self._alpha_q64 = eval_coefficient(alpha, xq)
+        self._beta_q64 = eval_coefficient(beta, xq)
+        self.alpha_q = self._alpha_q64.astype(rd)
+        self.beta_q = self._beta_q64.astype(rd)
         self.wq = space.quad_weight().astype(rd)
         self.B = space.basis.B.astype(rd)              # (q, p+1)
         self.D = space.basis.D.astype(rd)
@@ -125,6 +127,51 @@ class BlochHelmholtz:
     @property
     def diag_M(self) -> np.ndarray:
         return self._diag_M
+
+    # -- host f64 twins (for the final Rayleigh–Ritz refinement) ------------
+
+    def apply_A_np(self, u: np.ndarray, k: np.ndarray) -> np.ndarray:
+        """Matrix-free A(k) apply on host in float64/complex128 — same
+        math as :meth:`apply_A` via the NumPy twins. Used by the f64
+        Rayleigh–Ritz polish (SURVEY.md §7.0 precision plan d)."""
+        sp = self.space
+        d = sp.dim
+        shape, pp, cl = sp.grid.shape, (sp.p,) * d, (True,) * d
+        B64 = sp.basis.B
+        D64 = sp.basis.D
+        tabs = [[D64 if r == i else B64 for i in range(d)] for r in range(d)]
+        wq = sp.quad_weight()
+        aq = self._alpha_q64
+        Jinv = sp.grid.Jinv
+        u = np.asarray(u, np.complex128)
+        k = np.asarray(k, np.float64)
+        kb = k.reshape((d,) + (1,) * 2 * d)
+        ue = tensor.gather_np(u, shape, pp, cl)
+        uq = tensor.contract_np(ue, [B64] * d)
+        ghat = np.stack([tensor.contract_np(ue, tabs[r]) for r in range(d)])
+        g = np.einsum("rs,s...->r...", Jinv.T, ghat)
+        w = g + 1j * kb * uq
+        f = aq * w
+        s = -1j * np.sum(kb * f, axis=0)
+        fhat = np.einsum("rs,s...->r...", Jinv, f)
+        y = tensor.contract_t_np(wq * s, [B64] * d)
+        for r in range(d):
+            y = y + tensor.contract_t_np(wq * fhat[r], tabs[r])
+        return tensor.scatter_add_np(y, shape, pp, cl)
+
+    def apply_M_np(self, u: np.ndarray, k=None) -> np.ndarray:
+        # k accepted for interface uniformity with the quasi-periodic
+        # Maxwell operator; the Bloch-shifted scalar mass is k-free.
+        sp = self.space
+        d = sp.dim
+        shape, pp, cl = sp.grid.shape, (sp.p,) * d, (True,) * d
+        B64 = sp.basis.B
+        uq = tensor.contract_np(
+            tensor.gather_np(np.asarray(u, np.complex128), shape, pp, cl),
+            [B64] * d)
+        return tensor.scatter_add_np(
+            tensor.contract_t_np(sp.quad_weight() * self._beta_q64 * uq,
+                                 [B64] * d), shape, pp, cl)
 
     # -- host-side diagonal precomputation (NumPy) --------------------------
 

@@ -147,3 +147,76 @@ def contract_t_np(vq, tables):
         vq = _np.moveaxis(_np.tensordot(tables[i], vq, axes=((0,), (ax,))),
                           0, ax)
     return vq
+
+
+# ---------------------------------------------------------------------------
+# Quasi-periodic (Bloch-phased) single-axis gather/scatter.
+#
+# For Bloch problems posed in the QUASI-PERIODIC formulation
+# (u(x + a_i) = e^{i k·a_i} u(x); operator k-independent, k enters only
+# through these wrap phases — the same realization as MFEM's
+# Bloch-phased periodic dof identification, SURVEY.md §3.2), the
+# element gather multiplies the wrapped copy (last element's shared
+# node, which lives at x = a_i) by phase_i; the scatter-adjoint uses the
+# conjugate. phase_i may be a traced complex scalar — one compiled
+# program still serves every k.
+# ---------------------------------------------------------------------------
+
+
+def gather_axis(u, axis, n, p, phase=None):
+    """Closed gather along one axis: size n*p -> (n, p+1) at ``axis``.
+    ``phase`` (complex scalar or None) multiplies the wrapped entry."""
+    shape = u.shape
+    u = u.reshape(*shape[:axis], n, p, *shape[axis + 1:])
+    first = jax.lax.slice_in_dim(u, 0, 1, axis=axis + 1)
+    if phase is None:
+        rolled = jnp.roll(first, -1, axis=axis)
+    else:
+        head = jax.lax.slice_in_dim(first, 1, n, axis=axis)
+        tail = jax.lax.slice_in_dim(first, 0, 1, axis=axis) * phase
+        rolled = jnp.concatenate([head, tail], axis=axis)
+    return jnp.concatenate([u, rolled], axis=axis + 1)
+
+
+def scatter_add_axis(r, axis, n, p, phase=None):
+    """Adjoint of :func:`gather_axis` (conjugate phase on the wrap)."""
+    main = jax.lax.slice_in_dim(r, 0, p, axis=axis + 1)
+    last = jax.lax.slice_in_dim(r, p, p + 1, axis=axis + 1)
+    if phase is None:
+        last = jnp.roll(last, 1, axis=axis)
+    else:
+        head = jax.lax.slice_in_dim(last, n - 1, n, axis=axis) \
+            * jnp.conj(phase)
+        tail = jax.lax.slice_in_dim(last, 0, n - 1, axis=axis)
+        last = jnp.concatenate([head, tail], axis=axis)
+    idx = (slice(None),) * (axis + 1) + (0,)
+    main = main.at[idx].add(jnp.squeeze(last, axis=axis + 1))
+    shape = main.shape
+    return main.reshape(*shape[:axis], n * p, *shape[axis + 2:])
+
+
+def gather_qp(u, shape, p, closed, phases):
+    """Quasi-periodic multi-axis gather: like :func:`gather` but closed
+    axes wrap with their Bloch phase. ``phases``: length-d list (entries
+    ignored for open axes)."""
+    for i in range(len(shape)):
+        ax = 2 * i
+        if closed[i]:
+            u = gather_axis(u, ax, shape[i], p[i], phases[i])
+        else:
+            pre = u.shape[:ax]
+            post = u.shape[ax + 1:]
+            u = u.reshape(*pre, shape[i], p[i], *post)
+    return u
+
+
+def scatter_add_qp(r, shape, p, closed, phases):
+    for i in reversed(range(len(shape))):
+        ax = 2 * i
+        if closed[i]:
+            r = scatter_add_axis(r, ax, shape[i], p[i], phases[i])
+        else:
+            pre = r.shape[:ax]
+            post = r.shape[ax + 2:]
+            r = r.reshape(*pre, shape[i] * p[i], *post)
+    return r

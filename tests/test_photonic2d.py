@@ -1,0 +1,106 @@
+"""Config-2 physics integration tests (SURVEY.md §4.2 item 3): 2D
+square-lattice dielectric photonic crystal, TM/TE bands.
+
+The canonical structure (Joannopoulos, *Photonic Crystals* ch. 5; MPB
+docs): square lattice of dielectric rods, ε = 8.9 (alumina), r = 0.2a in
+air. Its TM polarization has a complete band gap between bands 1 and 2
+with edges near ωa/2πc ≈ 0.32 and 0.44 (~31% gap/midgap); TE has no gap
+there. Published values are encoded to loose (few-%) tolerance — offline
+memory of the tables; the machine-precision check is the dense-oracle
+self-consistency test.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from bravais_tpu.bands import BandSweep
+from bravais_tpu.cli.bands_app import build_problem, run
+from bravais_tpu.cli.config import RunConfig
+from bravais_tpu.lattices import kpath, make_lattice
+from bravais_tpu.meshing.grid import PeriodicGrid
+from bravais_tpu.operators.coefficients import dielectric_rod
+from bravais_tpu.operators.dense import assemble_h1
+from bravais_tpu.operators.helmholtz import BlochHelmholtz
+from bravais_tpu.spaces.h1 import H1Space
+
+
+def _freqs(lams):
+    return np.sqrt(np.maximum(np.asarray(lams), 0.0)) / (2 * np.pi)
+
+
+def test_tm_matches_dense_oracle():
+    """Matrix-free + LOBPCG vs dense f64 assembly — same discretization,
+    must agree to solver tolerance (the parity harness, §4.2 item 5)."""
+    lat = make_lattice("SQR")
+    sp = H1Space.make(PeriodicGrid.make(lat, 8), 2)
+    eps = dielectric_rod(8.9, 1.0, 0.2, 0.5 * lat.A.sum(0), lat.A)
+    op = BlochHelmholtz(sp, alpha=1.0, beta=eps, dtype=jnp.complex128)
+    sweep = BandSweep(op, nev=4, block=8, tol=1e-10, maxiter=400)
+    kpts = np.asarray([lat.k_cart((0.5, 0.0)), lat.k_cart((0.25, 0.25))])
+    res = sweep.run(kpts)
+    for i, k in enumerate(kpts):
+        A, M = assemble_h1(sp, k, alpha=1.0, beta=eps)
+        exact = scipy.linalg.eigh(A, M, eigvals_only=True)[:4]
+        np.testing.assert_allclose(res.eigenvalues[i], exact, rtol=1e-8,
+                                   atol=1e-9)
+
+
+def test_tm_band_gap_vs_published():
+    """TM gap of the ε=8.9, r=0.2a rod crystal vs the published MPB /
+    Joannopoulos values (loose tolerance, see module docstring)."""
+    cfg = RunConfig(lattice="SQR", problem="tm", eps_in=8.9, eps_out=1.0,
+                    radius=0.2, n=16, p=3, nk=20, nev=3, tol=1e-8,
+                    maxiter=500, precision="f64", mode="batched")
+    lat, kp, op = build_problem(cfg)
+    sweep = BandSweep(op, nev=3, tol=1e-8, maxiter=500)
+    res = sweep.run(kp.k_cart)
+    f = _freqs(res.eigenvalues)
+    gap_bottom = f[:, 0].max()
+    gap_top = f[:, 1].min()
+    assert gap_bottom < gap_top, "TM gap must exist"
+    assert abs(gap_bottom - 0.323) < 0.015, gap_bottom
+    assert abs(gap_top - 0.443) < 0.020, gap_top
+    gap_ratio = 2 * (gap_top - gap_bottom) / (gap_top + gap_bottom)
+    assert abs(gap_ratio - 0.31) < 0.04, gap_ratio
+
+
+def test_te_no_full_gap():
+    cfg = RunConfig(lattice="SQR", problem="te", eps_in=8.9, eps_out=1.0,
+                    radius=0.2, n=12, p=2, nk=16, nev=3, tol=1e-7,
+                    maxiter=400, precision="f64", mode="batched")
+    lat, kp, op = build_problem(cfg)
+    res = BandSweep(op, nev=3, tol=1e-7, maxiter=400).run(kp.k_cart)
+    f = _freqs(res.eigenvalues)
+    # TE bands 1/2 overlap somewhere on the path -> no complete gap.
+    assert f[:, 0].max() > f[:, 1].min()
+
+
+def test_cli_app_end_to_end(tmp_path, capsys):
+    out = tmp_path / "run"
+    cfg = RunConfig(lattice="SQR", problem="tm", eps_in=8.9, eps_out=1.0,
+                    radius=0.2, n=6, p=2, nk=6, nev=2, tol=1e-6,
+                    maxiter=300, precision="f64", mode="batched",
+                    out=str(out), plot=True)
+    run(cfg)
+    assert (out / "bands.npz").exists()
+    assert (out / "manifest.json").exists()
+    assert (out / "bands.png").exists()
+    # Resume: nothing left to do.
+    cfg2 = RunConfig(**{**cfg.to_dict(), "resume": True})
+    msgs = []
+    run(cfg2, log=msgs.append)
+    assert any("already finished" in str(m) for m in msgs)
+
+
+def test_cli_argparse_roundtrip():
+    import argparse
+    ap = argparse.ArgumentParser()
+    RunConfig.add_cli_args(ap)
+    ns = ap.parse_args(["--lattice", "HEX2D", "--problem", "te",
+                        "--eps-in", "13.0", "--radius", "0.48",
+                        "--path", "G,M,K,G", "--nev", "8"])
+    cfg = RunConfig.from_cli_args(ns)
+    assert cfg.lattice == "HEX2D" and cfg.problem == "te"
+    assert cfg.path == [["G", "M", "K", "G"]]
+    assert cfg.nev == 8 and cfg.eps_in == 13.0

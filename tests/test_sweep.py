@@ -1,0 +1,91 @@
+"""k-sweep tests: batched/sharded (8 virtual CPU devices — the rebuild's
+distributed-testing mechanism, SURVEY.md §4.2 item 4), warm starts, and
+checkpoint/resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from bravais_tpu.bands import BandSweep, BandWriter
+from bravais_tpu.lattices import kpath, make_lattice
+from bravais_tpu.meshing.grid import PeriodicGrid
+from bravais_tpu.operators.dense import assemble_h1
+from bravais_tpu.operators.helmholtz import BlochHelmholtz
+from bravais_tpu.parallel.mesh import kpoint_mesh
+from bravais_tpu.spaces.h1 import H1Space
+
+
+def _setup(n=6, p=2, dtype=jnp.complex128):
+    lat = make_lattice("SQR")
+    sp = H1Space.make(PeriodicGrid.make(lat, n), p)
+    return lat, BlochHelmholtz(sp, dtype=dtype)
+
+
+def _dense_bands(op, k, nev):
+    A, M = assemble_h1(op.space, k)
+    return scipy.linalg.eigh(A, M, eigvals_only=True)[:nev]
+
+
+def test_sweep_batched_matches_dense():
+    lat, op = _setup()
+    kp = kpath(lat, npts=6)
+    sweep = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200)
+    res = sweep.run(kp.k_cart)
+    assert res.eigenvalues.shape == (kp.nk, 3)
+    for i in range(kp.nk):
+        exact = _dense_bands(op, kp.k_cart[i], 3)
+        np.testing.assert_allclose(res.eigenvalues[i], exact, rtol=1e-7,
+                                   atol=1e-7)
+
+
+def test_sweep_sharded_8dev():
+    """Same sweep under an 8-device mesh — must give identical physics."""
+    assert jax.device_count() >= 8
+    lat, op = _setup()
+    kp = kpath(lat, npts=10)  # not a multiple of 8 -> exercises padding
+    mesh = kpoint_mesh(jax.devices()[:8])
+    sweep = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200)
+    res = sweep.run(kp.k_cart, mesh=mesh)
+    ref = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200).run(kp.k_cart)
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues, rtol=1e-9,
+                               atol=1e-9)
+
+
+def test_sweep_warm_start_fewer_iterations():
+    lat, op = _setup(n=8, p=2)
+    # Densely sampled short leg -> adjacent k very close.
+    kp = kpath(lat, npts=8, path=[["G", "X"]])
+    cold = BandSweep(op, nev=3, block=6, tol=1e-8, maxiter=300)
+    warm = BandSweep(op, nev=3, block=6, tol=1e-8, maxiter=300)
+    rc = cold.run(kp.k_cart)
+    rw = warm.run_warm(kp.k_cart)
+    np.testing.assert_allclose(rw.eigenvalues, rc.eigenvalues, rtol=1e-6,
+                               atol=1e-7)
+    # Ignore the first k (identical start); warm starts should cut the
+    # average iteration count substantially.
+    assert rw.iterations[1:].mean() < 0.7 * rc.iterations[1:].mean()
+
+
+def test_band_writer_resume(tmp_path):
+    cfg = {"lattice": "SQR", "p": 2}
+    w = BandWriter(tmp_path / "run", cfg, nk=6, nev=3)
+    assert w.try_resume() == []
+    w.write_chunk([0, 1, 2], np.ones((3, 3)), [5, 6, 7], np.zeros((3, 3)))
+    # New writer with same config resumes.
+    w2 = BandWriter(tmp_path / "run", cfg, nk=6, nev=3)
+    assert w2.try_resume() == [0, 1, 2]
+    np.testing.assert_allclose(w2.eigenvalues[:3], 1.0)
+    assert np.isnan(w2.eigenvalues[3]).all()
+    # Different config does NOT resume.
+    w3 = BandWriter(tmp_path / "run", {"lattice": "HEX"}, nk=6, nev=3)
+    assert w3.try_resume() == []
+
+
+def test_plot_bands(tmp_path):
+    from bravais_tpu.bands import plot_bands
+    lat, _ = _setup()
+    kp = kpath(lat, npts=12)
+    vals = np.linspace(0, 2, 12)[:, None] + np.arange(3)[None, :]
+    out = plot_bands(kp, vals, path=tmp_path / "bands.png")
+    assert (tmp_path / "bands.png").exists()
