@@ -182,7 +182,29 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         return _Carry(X=Xn, AX=AXn, MX=MXn, P=Pn, AP=APn, MP=MPn,
                       res=rel, it=c.it + 1, done=done)
 
-    c = jax.lax.while_loop(cond, body, c0)
+    # Segmented iteration with periodic refresh: AX/MX/AP/MP are only
+    # ever formed by linear recombination inside a segment; recomputing
+    # them from scratch between segments kills the slow drift that can
+    # otherwise turn the Rayleigh–Ritz matrix indefinite on hard
+    # (degenerate-cluster) problems. An outer while_loop keeps this
+    # vmap-safe (a lax.cond would compute both branches under vmap).
+    seg = 64
+
+    def seg_cond(c: _Carry):
+        return jnp.logical_and(c.it < maxiter, jnp.logical_not(c.done))
+
+    def seg_body(c: _Carry):
+        c = c._replace(AX=Af(c.X), MX=Mf(c.X), AP=Af(c.P), MP=Mf(c.P))
+        it0 = c.it
+
+        def inner_cond(c2: _Carry):
+            return jnp.logical_and(
+                jnp.logical_and(c2.it < maxiter, c2.it - it0 < seg),
+                jnp.logical_not(c2.done))
+
+        return jax.lax.while_loop(inner_cond, body, c)
+
+    c = jax.lax.while_loop(seg_cond, seg_body, c0)
 
     # Final Ritz data on exit state (X is M-orthonormal up to roundoff).
     nrm = jnp.maximum(jnp.real(jnp.sum(jnp.conj(c.X) * c.MX, axis=1)),

@@ -292,12 +292,13 @@ class BlochCurlCurl:
         """L φ = Gᴴ M_ε G φ — the quasi-periodic ε-weighted Laplacian."""
         return self.apply_GkH(self.apply_M(self.apply_Gk(phi, k), k), k)
 
-    def project_out_gradients(self, u: jax.Array, k: jax.Array,
-                              cg_iters: int = 25) -> jax.Array:
-        """u ← u − G L⁻¹ Gᴴ M u (App. C.3). EXACT deflation of the
-        gradient nullspace (up to the CG tolerance); L solved by fixed
-        Jacobi-preconditioned CG. At Γ, L's constant nullspace is
-        harmless: the rhs is consistent and G(const) = 0."""
+    def gradient_component(self, u: jax.Array, k: jax.Array,
+                           cg_iters: int = 25) -> jax.Array:
+        """P u = G L⁻¹ Gᴴ M u — the M-orthogonal projection of ``u``
+        onto the gradient subspace (App. C.3). L solved by fixed
+        Jacobi-preconditioned CG. For a discrete PHYSICAL eigenvector
+        (λ>0), Gᴴ M u = 0 exactly, so P u = 0 regardless of the CG
+        tolerance; CG accuracy only matters for kernel directions."""
         rhs = self.apply_GkH(self.apply_M(u, k), k)
         dpc = jnp.asarray(self._h1_diag0)
 
@@ -317,25 +318,46 @@ class BlochCurlCurl:
         z0 = rhs / dpc
         phi = jax.lax.fori_loop(
             0, cg_iters, body, (x0, rhs, z0, jnp.vdot(rhs, z0)))[0]
-        return u - self.apply_Gk(phi, k)
+        return self.apply_Gk(phi, k)
 
-    def make_solve_fn(self, cg_iters: int = 25) -> Callable:
-        """Solve hook for BandSweep: deflated LOBPCG (projection applied
-        to the initial block and inside the preconditioner)."""
+    def project_out_gradients(self, u: jax.Array, k: jax.Array,
+                              cg_iters: int = 25) -> jax.Array:
+        """u ← u − P u (divergence-projection deflation)."""
+        return u - self.gradient_component(u, k, cg_iters)
+
+    @property
+    def sigma_shift(self) -> float:
+        """σ for the gradient-subspace spectral shift: safely above the
+        physical bands of interest (a λ_max-scale Gershgorin-style
+        estimate from the diagonals)."""
+        return float(np.mean(self._diag_A) / np.mean(self._diag_M))
+
+    def make_solve_fn(self, cg_iters: int = 25,
+                      sigma: float | None = None) -> Callable:
+        """Solve hook for BandSweep: LOBPCG on the gradient-shifted
+        operator Ã = A + σ·M P (P = gradient projector).
+
+        Why a SHIFT and not per-iteration projection: A annihilates
+        gradients (eigenvalue 0 < every physical band), so any roundoff
+        leakage of kernel components into the block gets AMPLIFIED by a
+        projected iteration (observed: divergence at the FCC W point
+        after ~200 f64 iterations). The shift makes kernel directions
+        spectrally repulsive (eigenvalue σ) while leaving physical modes
+        untouched EXACTLY (Gᴴ M u_phys = 0), so leakage self-corrects.
+        """
         from bravais_tpu.eigen.lobpcg import lobpcg
 
         def solve(op, X0, k, nev, tol, maxiter, precond):
-            proj = partial(op.project_out_gradients, k=k,
-                           cg_iters=cg_iters)
-            X0p = jax.vmap(proj)(X0)
+            sig = jnp.asarray(sigma if sigma is not None
+                              else op.sigma_shift, op.rdtype)
+            proj = partial(op.gradient_component, k=k, cg_iters=cg_iters)
+            X0p = X0 - jax.vmap(proj)(X0)
 
-            def pc(R):
-                W = precond(R) if precond is not None else R
-                return proj(W)
+            def A_shifted(x):
+                return op.apply_A(x, k) + sig * op.apply_M(proj(x), k)
 
-            return lobpcg(lambda x: op.apply_A(x, k),
-                          lambda x: op.apply_M(x, k), X0p,
-                          nev, maxiter=maxiter, tol=tol, precond=pc)
+            return lobpcg(A_shifted, lambda x: op.apply_M(x, k), X0p,
+                          nev, maxiter=maxiter, tol=tol, precond=precond)
 
         return solve
 

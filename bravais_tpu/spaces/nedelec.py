@@ -54,6 +54,10 @@ class NedelecSpace:
                    Dnode=Dnode, Inode=Inode)
 
     @property
+    def dim(self) -> int:
+        return 3
+
+    @property
     def q(self) -> int:
         return len(self.closed.qpts)
 

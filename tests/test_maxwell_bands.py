@@ -1,0 +1,62 @@
+"""Config-3/4 Maxwell physics tests (SURVEY.md §4.2 item 3,
+BASELINE.json:9-10): SC + dielectric sphere on Γ–X–M–R, and the headline
+FCC empty-lattice band path Γ–X–W–L."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bravais_tpu.bands import BandSweep
+from bravais_tpu.lattices import kpath, make_lattice
+from bravais_tpu.meshing.grid import PeriodicGrid
+from bravais_tpu.operators.coefficients import dielectric_sphere
+from bravais_tpu.operators.curlcurl import BlochCurlCurl
+from bravais_tpu.spaces.nedelec import NedelecSpace
+from tests.oracles.analytic import maxwell_bands
+
+
+def test_fcc_empty_lattice_headline_path():
+    """FCC Maxwell bands on (a short sampling of) Γ–X–W–L vs the
+    analytic oracle — the headline configuration's correctness gate."""
+    lat = make_lattice("FCC")
+    kp = kpath(lat, npts=5, path=[["G", "X", "W", "L"]])
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
+    op = BlochCurlCurl(sp, dtype=jnp.complex128)
+    sweep = BandSweep(op, nev=4, block=8, tol=1e-8, maxiter=400,
+                      solve_fn=op.make_solve_fn(cg_iters=40))
+    # Nudge exact-Γ to avoid the measure-zero harmonic point (module
+    # docstring of curlcurl).
+    kc = kp.k_cart.copy()
+    for i in range(kc.shape[0]):
+        if np.linalg.norm(kc[i]) < 1e-12:
+            kc[i] = 1e-5 * lat.B[0]
+    res = sweep.run(kc)
+    for i in range(kp.nk):
+        ex = maxwell_bands(lat, kc[i], 4)
+        scale = max(ex.max(), 1e-3)
+        err = np.max(np.abs(res.eigenvalues[i] - ex)) / scale
+        assert err < 6e-2, (i, res.eigenvalues[i], ex)
+
+
+def test_sc_dielectric_sphere_gap_structure():
+    """Config 3: simple-cubic + dielectric sphere (ε=13, r=0.25a).
+    Sanity physics: spectrum real, positive, bands ordered, and the
+    dielectric lowers the first bands vs vacuum (ω² scales ~1/ε̄)."""
+    lat = make_lattice("CUB")
+    eps = dielectric_sphere(13.0, 1.0, 0.25, 0.5 * lat.A.sum(0), lat.A)
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
+    op_d = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex128)
+    op_v = BlochCurlCurl(sp, eps=1.0, dtype=jnp.complex128)
+    k = lat.k_cart((0.5, 0.0, 0.0))  # X
+    sweep_d = BandSweep(op_d, nev=3, block=7, tol=1e-7, maxiter=400,
+                        solve_fn=op_d.make_solve_fn(cg_iters=40))
+    sweep_v = BandSweep(op_v, nev=3, block=7, tol=1e-7, maxiter=400,
+                        solve_fn=op_v.make_solve_fn(cg_iters=40))
+    rd = sweep_d.run(np.asarray([k]))
+    rv = sweep_v.run(np.asarray([k]))
+    d, v = rd.eigenvalues[0], rv.eigenvalues[0]
+    assert np.all(np.diff(d) >= -1e-9)
+    assert np.all(d > 0)
+    assert d[0] < 0.7 * v[0]  # dielectric pulls bands down
+    # Vacuum matches the analytic oracle.
+    ex = maxwell_bands(lat, k, 3)
+    np.testing.assert_allclose(v, ex, rtol=5e-2)
