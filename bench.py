@@ -1,18 +1,22 @@
-"""Headline benchmark harness.
+"""Headline benchmark harness (BASELINE.json:2).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Metric: k-point eigensolves/sec — FCC Maxwell band diagram, 10 bands,
+Γ–X–W–L path, eigenvalue tolerance 1e-6 (f32 device solve converged to
+residual 1e-5 + host f64 Rayleigh–Ritz refinement; the achieved
+eigenvalue error vs the analytic empty-lattice oracle is measured and
+reported — SURVEY.md §7.0 precision plan).
 
-Target metric (BASELINE.json:2): k-point eigensolves/sec. The headline
-config is the FCC Maxwell 10-band Γ–X–W–L diagram; until the Nédélec
-curl-curl path lands this measures the scalar Bloch Helmholtz sweep on
-the same machinery (same solver, same sweep engine) and labels itself
-accordingly. ``vs_baseline`` is null — the reference publishes no number
-(BASELINE.md) and the MFEM binary cannot run here.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+``vs_baseline`` is null: the reference publishes no number (BASELINE.md)
+and the MFEM binary cannot run in this environment.
 
-Usage: python bench.py [--nk N] [--n MESH] [--p ORDER] [--nev NEV]
+Usage:
+    python bench.py                     # headline FCC Maxwell
+    python bench.py --problem scalar    # 2D scalar Helmholtz variant
 """
 
 import argparse
+import itertools
 import json
 import sys
 import time
@@ -20,59 +24,85 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--problem", choices=["maxwell", "scalar"],
+                    default="maxwell")
     ap.add_argument("--nk", type=int, default=16)
-    ap.add_argument("--n", type=int, default=16, help="elements per dim")
-    ap.add_argument("--p", type=int, default=4, help="order")
+    ap.add_argument("--n", type=int, default=0,
+                    help="elements per dim (0 = per-problem default)")
+    ap.add_argument("--p", type=int, default=0, help="order (0 = default)")
     ap.add_argument("--nev", type=int, default=10)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--mode", choices=["warm", "batched"], default="warm")
+    ap.add_argument("--cg-iters", type=int, default=20)
     args = ap.parse_args()
 
     import numpy as np
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     from bravais_tpu.bands import BandSweep
     from bravais_tpu.lattices import kpath, make_lattice
     from bravais_tpu.meshing.grid import PeriodicGrid
-    from bravais_tpu.operators.helmholtz import BlochHelmholtz
-    from bravais_tpu.spaces.h1 import H1Space
 
-    lat = make_lattice("SQR")
-    kp = kpath(lat, npts=args.nk)
-    sp = H1Space.make(PeriodicGrid.make(lat, args.n), args.p)
-    op = BlochHelmholtz(sp, dtype=jnp.complex64)
-    sweep = BandSweep(op, nev=args.nev, tol=args.tol, maxiter=400)
+    if args.problem == "maxwell":
+        from bravais_tpu.operators.curlcurl import BlochCurlCurl
+        from bravais_tpu.spaces.nedelec import NedelecSpace
+        n = args.n or 6
+        p = args.p or 2
+        lat = make_lattice("FCC")
+        kp = kpath(lat, npts=args.nk, path=[["G", "X", "W", "L"]])
+        sp = NedelecSpace.make(PeriodicGrid.make(lat, n), p)
+        op = BlochCurlCurl(sp, dtype=jnp.complex64)
+        solve_fn = op.make_solve_fn(cg_iters=args.cg_iters)
+        sweep = BandSweep(op, nev=args.nev, block=args.nev + 6,
+                          tol=args.tol, maxiter=500, solve_fn=solve_fn)
+        metric = (f"k-point eigensolves/sec (FCC Maxwell G-X-W-L, "
+                  f"{args.nev} bands, eig tol {args.tol:g}, n={n} p={p})")
+        mmax, mult = 3, 2
+    else:
+        from bravais_tpu.operators.helmholtz import BlochHelmholtz
+        from bravais_tpu.spaces.h1 import H1Space
+        n = args.n or 16
+        p = args.p or 4
+        lat = make_lattice("SQR")
+        kp = kpath(lat, npts=args.nk)
+        sp = H1Space.make(PeriodicGrid.make(lat, n), p)
+        op = BlochHelmholtz(sp, dtype=jnp.complex64)
+        sweep = BandSweep(op, nev=args.nev, tol=args.tol, maxiter=400)
+        metric = (f"k-point eigensolves/sec (2D square scalar Helmholtz, "
+                  f"{args.nev} bands, eig tol {args.tol:g}, n={n} p={p})")
+        mmax, mult = 5, 1
+
+    # Nudge exact-Γ points (curlcurl module docstring).
+    kc = kp.k_cart.copy()
+    for i in range(kc.shape[0]):
+        if np.linalg.norm(kc[i]) < 1e-12:
+            kc[i] = 2e-2 * lat.B[0]
 
     t_all = time.time()
-    if args.mode == "warm":
-        res = sweep.run_warm(kp.k_cart)
-    else:
-        res = sweep.run(kp.k_cart)
+    res = sweep.run_warm(kc) if args.mode == "warm" else sweep.run(kc)
     total = time.time() - t_all
-
-    # Steady-state throughput: exclude the single compiling launch.
     n_steady = max(kp.nk - 1, 1)
     solves_per_sec = n_steady / max(res.wall_s, 1e-9)
 
-    # Accuracy cross-check against the analytic empty-lattice oracle.
-    import itertools
-    def exact_bands(k, nb, mmax=5):
+    # Accuracy vs the analytic empty-lattice oracle (App. B.3).
+    def exact_bands(k, nb):
         vals = sorted(
             float(np.sum((np.asarray(k) + np.asarray(m) @ lat.B) ** 2))
-            for m in itertools.product(range(-mmax, mmax + 1), repeat=2))
-        return np.asarray(vals[:nb])
+            for m in itertools.product(range(-mmax, mmax + 1),
+                                       repeat=lat.dim))
+        return np.asarray(sorted(vals * mult)[:nb])
 
     errs = []
     for i in range(kp.nk):
-        ex = exact_bands(kp.k_cart[i], args.nev)
-        sc = max(ex.max(), 1.0)
-        errs.append(np.max(np.abs(res.eigenvalues[i] - ex)) / sc)
-    max_rel_err = float(np.max(errs))
-
+        ex = exact_bands(kc[i], args.nev)
+        errs.append(np.max(np.abs(res.eigenvalues[i] - ex))
+                    / max(ex.max(), 1.0))
     out = {
-        "metric": ("k-point eigensolves/sec (2D square scalar Helmholtz "
-                   f"empty-lattice, {args.nev} bands, tol {args.tol:g}, "
-                   f"n={args.n} p={args.p}; placeholder for FCC Maxwell)"),
+        "metric": metric,
         "value": round(solves_per_sec, 4),
         "unit": "eigensolves/s",
         "vs_baseline": None,
@@ -85,7 +115,8 @@ def main():
             "steady_wall_s": round(res.wall_s, 3),
             "total_wall_s": round(total, 2),
             "mean_lobpcg_iters": float(np.mean(res.iterations)),
-            "max_rel_eig_err_vs_analytic": max_rel_err,
+            "max_rel_eig_err_vs_analytic": float(np.max(errs)),
+            "max_residual": float(np.max(res.residuals)),
         },
     }
     print(json.dumps(out))

@@ -60,6 +60,8 @@ class BlochCurlCurl:
         rd = np.dtype(self.rdtype)
 
         xq = space.qpoints_phys()
+        self._eps_fn = eps          # kept for GMG rediscretization
+        self._mu_inv_fn = mu_inv
         self._eps_q64 = eval_coefficient(eps, xq)
         self._mu_inv_q64 = eval_coefficient(mu_inv, xq)
         self.eps_q = self._eps_q64.astype(rd)
@@ -292,15 +294,31 @@ class BlochCurlCurl:
         """L φ = Gᴴ M_ε G φ — the quasi-periodic ε-weighted Laplacian."""
         return self.apply_GkH(self.apply_M(self.apply_Gk(phi, k), k), k)
 
+    def h1_gmg(self, **kw):
+        """GMG on the companion Bloch-shifted H1 operator (α=β=ε).
+        Spectrally equivalent to the quasi-periodic Laplacian L up to
+        discretization, so its V-cycle is an effective preconditioner
+        for the deflation CG (replacing ~30 Jacobi-CG inner applies by
+        ~8 preconditioned ones). Built lazily and cached."""
+        if not hasattr(self, "_gmg"):
+            from bravais_tpu.eigen.gmg import GMG
+            self._gmg = GMG(self.h1, alpha=self._eps_fn,
+                            beta=self._eps_fn, dtype=self.dtype,
+                            fine_op=self._helm, **kw)
+        return self._gmg
+
     def gradient_component(self, u: jax.Array, k: jax.Array,
-                           cg_iters: int = 25) -> jax.Array:
+                           cg_iters: int = 25,
+                           lprecond=None) -> jax.Array:
         """P u = G L⁻¹ Gᴴ M u — the M-orthogonal projection of ``u``
         onto the gradient subspace (App. C.3). L solved by fixed
-        Jacobi-preconditioned CG. For a discrete PHYSICAL eigenvector
-        (λ>0), Gᴴ M u = 0 exactly, so P u = 0 regardless of the CG
-        tolerance; CG accuracy only matters for kernel directions."""
+        preconditioned-CG iterations (``lprecond``: callable r -> z, or
+        None for Jacobi). For a discrete PHYSICAL eigenvector (λ>0),
+        Gᴴ M u = 0 exactly, so P u = 0 regardless of the CG tolerance;
+        CG accuracy only matters for kernel directions."""
         rhs = self.apply_GkH(self.apply_M(u, k), k)
         dpc = jnp.asarray(self._h1_diag0)
+        pc = lprecond if lprecond is not None else (lambda r: r / dpc)
 
         def body(i, st):
             x, r, p, rz = st
@@ -309,21 +327,22 @@ class BlochCurlCurl:
             alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = r / dpc
+            z = pc(r)
             rz_new = jnp.vdot(r, z)
             beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
             return x, r, z + beta * p, rz_new
 
         x0 = jnp.zeros_like(rhs)
-        z0 = rhs / dpc
+        z0 = pc(rhs)
         phi = jax.lax.fori_loop(
             0, cg_iters, body, (x0, rhs, z0, jnp.vdot(rhs, z0)))[0]
         return self.apply_Gk(phi, k)
 
     def project_out_gradients(self, u: jax.Array, k: jax.Array,
-                              cg_iters: int = 25) -> jax.Array:
+                              cg_iters: int = 25,
+                              lprecond=None) -> jax.Array:
         """u ← u − P u (divergence-projection deflation)."""
-        return u - self.gradient_component(u, k, cg_iters)
+        return u - self.gradient_component(u, k, cg_iters, lprecond)
 
     @property
     def sigma_shift(self) -> float:
@@ -333,7 +352,8 @@ class BlochCurlCurl:
         return float(np.mean(self._diag_A) / np.mean(self._diag_M))
 
     def make_solve_fn(self, cg_iters: int = 25,
-                      sigma: float | None = None) -> Callable:
+                      sigma: float | None = None,
+                      deflation_gmg: bool = False) -> Callable:
         """Solve hook for BandSweep: LOBPCG on the gradient-shifted
         operator Ã = A + σ·M P (P = gradient projector).
 
@@ -350,7 +370,9 @@ class BlochCurlCurl:
         def solve(op, X0, k, nev, tol, maxiter, precond):
             sig = jnp.asarray(sigma if sigma is not None
                               else op.sigma_shift, op.rdtype)
-            proj = partial(op.gradient_component, k=k, cg_iters=cg_iters)
+            lpc = op.h1_gmg().precond(k) if deflation_gmg else None
+            proj = partial(op.gradient_component, k=k, cg_iters=cg_iters,
+                           lprecond=lpc)
             X0p = X0 - jax.vmap(proj)(X0)
 
             def A_shifted(x):
