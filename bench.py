@@ -56,9 +56,13 @@ def main():
         kp = kpath(lat, npts=args.nk, path=[["G", "X", "W", "L"]])
         sp = NedelecSpace.make(PeriodicGrid.make(lat, n), p)
         op = BlochCurlCurl(sp, dtype=jnp.complex64)
-        solve_fn = op.make_solve_fn(cg_iters=args.cg_iters)
+        # QPGMG deflation: required for correct small-|k| physics in f32
+        # (Jacobi-CG deflation cannot resolve the near-null gradient
+        # mode there — measured catastrophic on the Γ–X leg).
+        solve_fn = op.make_solve_fn(cg_iters=args.cg_iters,
+                                    deflation_gmg=True)
         sweep = BandSweep(op, nev=args.nev, block=args.nev + 6,
-                          tol=args.tol, maxiter=500, solve_fn=solve_fn)
+                          tol=args.tol, maxiter=250, solve_fn=solve_fn)
         metric = (f"k-point eigensolves/sec (FCC Maxwell G-X-W-L, "
                   f"{args.nev} bands, eig tol {args.tol:g}, n={n} p={p})")
         mmax, mult = 3, 2

@@ -154,7 +154,9 @@ class BandSweep:
                 ks = np.concatenate([ks, np.repeat(ks[-1:], pad, axis=0)])
             t0 = time.time()
             out = self._jit_batched(X0, jnp.asarray(ks))
-            lam, its, res = (np.asarray(o) for o in out[:3])
+            # np.array (copy): np.asarray of device output is read-only,
+            # and the refinement below writes into these.
+            lam, its, res = (np.array(o) for o in out[:3])
             dt = time.time() - t0
             if first:
                 compile_s, first = dt, False

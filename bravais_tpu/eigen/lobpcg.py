@@ -196,13 +196,23 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     def seg_body(c: _Carry):
         c = c._replace(AX=Af(c.X), MX=Mf(c.X), AP=Af(c.P), MP=Mf(c.P))
         it0 = c.it
+        res0 = jnp.max(c.res[:nev])
 
         def inner_cond(c2: _Carry):
             return jnp.logical_and(
                 jnp.logical_and(c2.it < maxiter, c2.it - it0 < seg),
                 jnp.logical_not(c2.done))
 
-        return jax.lax.while_loop(inner_cond, body, c)
+        c = jax.lax.while_loop(inner_cond, body, c)
+        # Stagnation stop: if a whole segment reduced the worst tracked
+        # residual by < 30%, we are at a numerical floor (observed in
+        # f32 near Γ, where the exact deflation solve amplifies roundoff
+        # into an ~1e-3 residual floor while the SUBSPACE — and hence
+        # the refined eigenvalues — is already converged). Burn no more.
+        res1 = jnp.max(c.res[:nev])
+        floored = jnp.logical_and(jnp.isfinite(res0),
+                                  res1 > 0.7 * res0)
+        return c._replace(done=jnp.logical_or(c.done, floored))
 
     c = jax.lax.while_loop(seg_cond, seg_body, c0)
 

@@ -290,22 +290,99 @@ class BlochCurlCurl:
                                                 sp.p, ph[c])
         return acc
 
+    def apply_Pi(self, w: jax.Array, k: jax.Array) -> jax.Array:
+        """Nodal interpolation Π: (H1_qp)³ -> ND_qp. Component c of the
+        output interpolates the scalar w[c] onto the open nodes of dim c
+        (the Hiptmair–Xu auxiliary-space map — SURVEY.md §3.4)."""
+        sp = self.space
+        w = w.astype(self.dtype)
+        ph = self.phases(k)
+        In = jnp.asarray(sp.Inode.astype(np.dtype(self.rdtype)))
+        out = []
+        for c in range(3):
+            g = tensor.gather_axis(w[c], c, sp.grid.shape[c], sp.p, ph[c])
+            v = jnp.moveaxis(
+                jnp.tensordot(In, g, axes=((1,), (c + 1,))), 0, c + 1)
+            shape = v.shape
+            out.append(v.reshape(*shape[:c], sp.grid.shape[c] * sp.p,
+                                 *shape[c + 2:]))
+        return jnp.stack(out)
+
+    def apply_PiT(self, u: jax.Array, k: jax.Array) -> jax.Array:
+        """Adjoint of :meth:`apply_Pi`: ND -> (H1_qp)³."""
+        sp = self.space
+        u = u.astype(self.dtype)
+        ph = self.phases(k)
+        In = jnp.asarray(sp.Inode.astype(np.dtype(self.rdtype)))
+        out = []
+        for c in range(3):
+            shape = u[c].shape
+            r = u[c].reshape(*shape[:c], sp.grid.shape[c], sp.p,
+                             *shape[c + 1:])
+            v = jnp.moveaxis(
+                jnp.tensordot(In, r, axes=((0,), (c + 1,))), 0, c + 1)
+            out.append(tensor.scatter_add_axis(v, c, sp.grid.shape[c],
+                                               sp.p, ph[c]))
+        return jnp.stack(out)
+
+    def qp_gmg_mu(self, **kw):
+        """QP-GMG on the μ⁻¹-Laplacian (vector-nodal auxiliary solve)."""
+        if not hasattr(self, "_qpgmg_mu"):
+            from bravais_tpu.eigen.gmg import QPGMG
+            self._qpgmg_mu = QPGMG(self.h1, alpha=self._mu_inv_fn,
+                                   dtype=self.dtype, **kw)
+        return self._qpgmg_mu
+
+    def ams_precond(self, k, sigma: float | None = None,
+                    vec_cycles: int = 1, grad_cycles: int = 1):
+        """Auxiliary-space (Hiptmair–Xu / hypre-AMS analog, SURVEY.md
+        §2.2 #12, §3.4) preconditioner for the gradient-shifted operator
+        Ã = A + σ M P:
+
+            B r = D⁻¹ r  +  (1/σ)·G L⁻¹ Gᴴ r  +  Π B_vec Πᵀ r
+
+        smoothing + exact-subspace gradient correction (Ã acts as σ·L on
+        im(G)) + vector-nodal Laplacian correction through Π, each
+        auxiliary solve a QP-GMG cycle. Single-field callable; the
+        eigensolver vmaps it over the block.
+
+        STATUS: measured SLOWER than Jacobi for the eigensolve (the
+        unshifted vector-Laplacian correction over-amplifies the lowest
+        physical modes; hypre applies AMS to the SHIFTED SPD system).
+        Kept as a building block — the shifted-auxiliary variant is the
+        planned follow-up; Jacobi remains the default preconditioner."""
+        sig = jnp.asarray(sigma if sigma is not None else self.sigma_shift,
+                          self.rdtype)
+        gmg_g = self.qp_gmg()
+        gmg_v = self.qp_gmg_mu()
+        dA = np.maximum(self._diag_A, 1e-12 * float(np.mean(self._diag_A)))
+
+        def pc(R):
+            z1 = R / jnp.asarray(dA)
+            zg = gmg_g.solve(k, self.apply_GkH(R, k), grad_cycles)
+            z2 = self.apply_Gk(zg, k) / sig
+            rv = self.apply_PiT(R, k)
+            zv = jax.vmap(lambda b: gmg_v.solve(k, b, vec_cycles))(rv)
+            z3 = self.apply_Pi(zv, k)
+            return z1 + z2 + z3
+
+        return pc
+
     def apply_Lk(self, phi: jax.Array, k: jax.Array) -> jax.Array:
         """L φ = Gᴴ M_ε G φ — the quasi-periodic ε-weighted Laplacian."""
         return self.apply_GkH(self.apply_M(self.apply_Gk(phi, k), k), k)
 
-    def h1_gmg(self, **kw):
-        """GMG on the companion Bloch-shifted H1 operator (α=β=ε).
-        Spectrally equivalent to the quasi-periodic Laplacian L up to
-        discretization, so its V-cycle is an effective preconditioner
-        for the deflation CG (replacing ~30 Jacobi-CG inner applies by
-        ~8 preconditioned ones). Built lazily and cached."""
-        if not hasattr(self, "_gmg"):
-            from bravais_tpu.eigen.gmg import GMG
-            self._gmg = GMG(self.h1, alpha=self._eps_fn,
-                            beta=self._eps_fn, dtype=self.dtype,
-                            fine_op=self._helm, **kw)
-        return self._gmg
+    def qp_gmg(self, **kw):
+        """Multigrid on the quasi-periodic ε-Laplacian — EXACTLY the
+        deflation operator L = Gᴴ M_ε G at the fine level (same
+        quadrature), so a few Richardson+V-cycle steps replace the
+        ~20-30 Jacobi-CG iterations of the gradient projection.
+        Built lazily and cached."""
+        if not hasattr(self, "_qpgmg"):
+            from bravais_tpu.eigen.gmg import QPGMG
+            self._qpgmg = QPGMG(self.h1, alpha=self._eps_fn,
+                                dtype=self.dtype, **kw)
+        return self._qpgmg
 
     def gradient_component(self, u: jax.Array, k: jax.Array,
                            cg_iters: int = 25,
@@ -351,6 +428,13 @@ class BlochCurlCurl:
         estimate from the diagonals)."""
         return float(np.mean(self._diag_A) / np.mean(self._diag_M))
 
+    def gradient_component_gmg(self, u: jax.Array, k: jax.Array,
+                               cycles: int = 3) -> jax.Array:
+        """P u via the QP-GMG inner solve (see :meth:`qp_gmg`)."""
+        rhs = self.apply_GkH(self.apply_M(u, k), k)
+        phi = self.qp_gmg().solve(k, rhs, cycles)
+        return self.apply_Gk(phi, k)
+
     def make_solve_fn(self, cg_iters: int = 25,
                       sigma: float | None = None,
                       deflation_gmg: bool = False) -> Callable:
@@ -367,12 +451,17 @@ class BlochCurlCurl:
         """
         from bravais_tpu.eigen.lobpcg import lobpcg
 
+        if deflation_gmg:
+            self.qp_gmg()  # build hierarchy eagerly (host setup)
+
         def solve(op, X0, k, nev, tol, maxiter, precond):
             sig = jnp.asarray(sigma if sigma is not None
                               else op.sigma_shift, op.rdtype)
-            lpc = op.h1_gmg().precond(k) if deflation_gmg else None
-            proj = partial(op.gradient_component, k=k, cg_iters=cg_iters,
-                           lprecond=lpc)
+            if deflation_gmg:
+                proj = partial(op.gradient_component_gmg, k=k)
+            else:
+                proj = partial(op.gradient_component, k=k,
+                               cg_iters=cg_iters)
             X0p = X0 - jax.vmap(proj)(X0)
 
             def A_shifted(x):

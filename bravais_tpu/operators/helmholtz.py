@@ -128,6 +128,11 @@ class BlochHelmholtz:
     def diag_M(self) -> np.ndarray:
         return self._diag_M
 
+    @property
+    def diag0(self) -> np.ndarray:
+        """k-independent (k=0) stiffness diagonal — GMG smoother scaling."""
+        return self._diag_S
+
     # -- host f64 twins (for the final Rayleigh–Ritz refinement) ------------
 
     def apply_A_np(self, u: np.ndarray, k: np.ndarray) -> np.ndarray:

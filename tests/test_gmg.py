@@ -104,3 +104,30 @@ def test_gmg_in_sweep_dielectric():
                    precond=gmg.precond).run(k)
     np.testing.assert_allclose(sg.eigenvalues, sj.eigenvalues, rtol=1e-7)
     assert sg.iterations[0] < sj.iterations[0]
+
+
+def test_qpgmg_solves_deflation_operator():
+    """QPGMG Richardson+V solves L = G^H M_eps G to useful accuracy,
+    including the near-Γ regime (dense coarse solve handles the
+    near-null constant — the mode Chebyshev smoothing cannot touch)."""
+    import jax.numpy as jnp
+    from bravais_tpu.lattices import make_lattice
+    from bravais_tpu.meshing.grid import PeriodicGrid
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lat = make_lattice("CUB")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 4), 2)
+    op = BlochCurlCurl(sp, dtype=jnp.complex128)
+    gmg = op.qp_gmg()
+    rng = np.random.default_rng(3)
+    for kf in [(0.31, 0.17, 0.05), (2e-3, 0.0, 0.0)]:   # generic + near-Γ
+        k = jnp.asarray(lat.k_cart(kf))
+        phi = jnp.asarray(rng.standard_normal(sp.dof_shape)
+                          + 1j * rng.standard_normal(sp.dof_shape))
+        b = op.apply_Lk(phi, k)
+        x = gmg.solve(k, b, cycles=5)
+        rel = float(jnp.linalg.norm(op.apply_Lk(x, k) - b)
+                    / jnp.linalg.norm(b))
+        # contraction ≈ 0.14/cycle, measured identical at near-Γ
+        assert rel < 1e-4, (kf, rel)
