@@ -117,8 +117,129 @@ class BlochCurlCurl:
             }
         return self._tab_cache
 
+    # -- component-stacked fast path -----------------------------------
+    #
+    # The reference einsum path launches ~36 small contraction kernels
+    # per apply (3 components x dims x fwd/transpose) — dispatch-bound
+    # at practical sizes. The stacked path pads the open direction to
+    # p+1 (zero slot + zero table column), stacks the three components,
+    # and vmaps each contraction over the component axis: one BATCHED
+    # dot per (stage, dim) instead of three. Verified equal to apply_A
+    # to roundoff (tests/test_curlcurl.py).
+
+    def _stacked_tables(self):
+        if hasattr(self, "_stk"):
+            return self._stk
+        sp = self.space
+        rd = np.dtype(self.rdtype)
+
+        def embed(T):  # (q, p) open table -> (q, p+1), zero last column
+            return np.pad(T, ((0, 0), (0, 1))).astype(rd)
+
+        Bc = sp.closed.B.astype(rd)
+        Dc = sp.closed.D.astype(rd)
+        Bo = embed(sp.open.B)
+        Do = embed(sp.open.D)
+        val = tuple(
+            np.stack([Bo if i == c else Bc for c in range(3)])
+            for i in range(3))                      # per-dim (3, q, p+1)
+        der = []
+        for s2 in range(3):
+            der.append(tuple(
+                np.stack([(Do if i == c else Dc) if i == s2
+                          else (Bo if i == c else Bc) for c in range(3)])
+                for i in range(3)))
+        # transpose-path sign/index: for ordered (s, t), s != t, the
+        # unique r with {r,s,t} = {0,1,2}; sign +1 if (r,s,t) cyclic.
+        sign = np.zeros((3, 3), np.int8)
+        ridx = np.zeros((3, 3), np.int8)
+        for r, s2, t in _CYC:
+            sign[s2, t], ridx[s2, t] = 1, r
+            sign[t, s2], ridx[t, s2] = -1, r
+        self._stk = dict(val=val, der=der, sign=sign, ridx=ridx)
+        return self._stk
+
+    def _gather_stacked(self, u, ph):
+        sp = self.space
+        outs = []
+        for c in range(3):
+            g = u[c]
+            for i in range(3):
+                ax = 2 * i
+                if i == c:   # open dim: reshape + zero pad slot
+                    shp = g.shape
+                    g = g.reshape(*shp[:ax], sp.grid.shape[i], sp.p,
+                                  *shp[ax + 1:])
+                    pad = [(0, 0)] * g.ndim
+                    pad[ax + 1] = (0, 1)
+                    g = jnp.pad(g, pad)
+                else:
+                    g = tensor.gather_axis(g, ax, sp.grid.shape[i], sp.p,
+                                           ph[i])
+            outs.append(g)
+        return jnp.stack(outs)
+
+    def _scatter_stacked(self, r, ph):
+        sp = self.space
+        outs = []
+        for c in range(3):
+            g = r[c]
+            for i in reversed(range(3)):
+                ax = 2 * i
+                if i == c:   # open dim: drop pad slot, reshape
+                    g = jax.lax.slice_in_dim(g, 0, sp.p, axis=ax + 1)
+                    shp = g.shape
+                    g = g.reshape(*shp[:ax], sp.grid.shape[i] * sp.p,
+                                  *shp[ax + 2:])
+                else:
+                    g = tensor.scatter_add_axis(g, ax, sp.grid.shape[i],
+                                                sp.p, ph[i])
+            outs.append(g)
+        return jnp.stack(outs)
+
     def apply_A(self, u: jax.Array, k: jax.Array) -> jax.Array:
-        """y = A(k) u (plain curl-curl; k only in the wrap phases)."""
+        """y = A(k) u — component-stacked fast path (production)."""
+        u = u.astype(self.dtype)
+        ph = self.phases(k)
+        stk = self._stacked_tables()
+        vmc = jax.vmap(tensor.contract, in_axes=(0, (0, 0, 0)))
+        vmt = jax.vmap(tensor.contract_t, in_axes=(0, (0, 0, 0)))
+        ue = self._gather_stacked(u, ph)
+        D = [vmc(ue, stk["der"][s2]) for s2 in range(3)]  # D[s][t]=∂̂_s û_t
+        chat = jnp.stack([D[s2][t] - D[t][s2] for _, s2, t in _CYC])
+        cph = jnp.einsum("rs,s...->r...", jnp.asarray(self.J),
+                         chat) / self.detJs
+        f = (self.mu_inv_q * self.wq) * cph
+        cf = jnp.einsum("sr,s...->r...", jnp.asarray(self.J),
+                        f) / self.detJs
+        y = 0.0
+        sign, ridx = stk["sign"], stk["ridx"]
+        for s2 in range(3):
+            V = jnp.stack([cf[ridx[s2, t]] * float(sign[s2, t])
+                           if t != s2 else jnp.zeros_like(cf[0])
+                           for t in range(3)])
+            y = y + vmt(V, stk["der"][s2])
+        return self._scatter_stacked(y, ph)
+
+    def apply_M(self, u: jax.Array, k: jax.Array = None,
+                ph=None) -> jax.Array:
+        """y = M u — component-stacked fast path (production). Mass
+        wraps with phases: pass ``k`` or precomputed ``ph``."""
+        u = u.astype(self.dtype)
+        if ph is None:
+            ph = self.phases(k)
+        stk = self._stacked_tables()
+        vmc = jax.vmap(tensor.contract, in_axes=(0, (0, 0, 0)))
+        vmt = jax.vmap(tensor.contract_t, in_axes=(0, (0, 0, 0)))
+        ue = self._gather_stacked(u, ph)
+        uhat = vmc(ue, stk["val"])
+        g = (self.eps_q * self.wq) * jnp.einsum(
+            "rs,s...->r...", jnp.asarray(self.Ginv), uhat)
+        return self._scatter_stacked(vmt(g, stk["val"]), ph)
+
+    def apply_A_ref(self, u: jax.Array, k: jax.Array) -> jax.Array:
+        """Reference (unstacked) einsum implementation of A(k) u — kept
+        for cross-checking the stacked fast path."""
         sp = self.space
         u = u.astype(self.dtype)
         ph = self.phases(k)
@@ -138,10 +259,9 @@ class BlochCurlCurl:
             y[s] = y[s] - tensor.contract_t(cf[r], tabs["der"][s][t])
         return jnp.stack([self._scatter(y[c], c, ph) for c in range(3)])
 
-    def apply_M(self, u: jax.Array, k: jax.Array = None,
-                ph=None) -> jax.Array:
-        """y = M u. Mass also wraps with phases; pass ``k`` (or
-        precomputed ``ph``) — required for Hermiticity of the pencil."""
+    def apply_M_ref(self, u: jax.Array, k: jax.Array = None,
+                    ph=None) -> jax.Array:
+        """Reference (unstacked) einsum implementation of M u."""
         sp = self.space
         u = u.astype(self.dtype)
         if ph is None:

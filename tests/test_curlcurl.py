@@ -183,3 +183,20 @@ def test_lobpcg_deflated_empty_lattice():
     np.testing.assert_allclose(res.eigenvalues[0], dense_vals, rtol=1e-6)
     exact = maxwell_bands(lat, k, 5)
     np.testing.assert_allclose(res.eigenvalues[0], exact, rtol=3e-2)
+
+
+@pytest.mark.parametrize("lat,shape,p,eps,kw", CASES[:3],
+                         ids=[f"{c[0]}-p{c[2]}-stk{i}"
+                              for i, c in enumerate(CASES[:3])])
+def test_stacked_applies_match_reference(lat, shape, p, eps, kw):
+    """Component-stacked production path == reference einsum path."""
+    _, sp, op = _setup(lat, shape, p, eps, **kw)
+    u = _rand_field(sp, 11)
+    for kv in KS:
+        k = jnp.asarray(np.asarray(kv))
+        np.testing.assert_allclose(np.asarray(op.apply_A(u, k)),
+                                   np.asarray(op.apply_A_ref(u, k)),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.apply_M(u, k)),
+                                   np.asarray(op.apply_M_ref(u, k)),
+                                   rtol=1e-12, atol=1e-13)

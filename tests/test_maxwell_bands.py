@@ -21,8 +21,11 @@ def test_fcc_empty_lattice_headline_path():
     kp = kpath(lat, npts=5, path=[["G", "X", "W", "L"]])
     sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
     op = BlochCurlCurl(sp, dtype=jnp.complex128)
+    # QPGMG deflation: Jacobi-CG deflation cannot reliably resolve the
+    # near-null gradient mode at the nudged-Γ point (rounding-sensitive
+    # even in f64); the multigrid inner solve is the production path.
     sweep = BandSweep(op, nev=4, block=8, tol=1e-8, maxiter=400,
-                      solve_fn=op.make_solve_fn(cg_iters=40))
+                      solve_fn=op.make_solve_fn(deflation_gmg=True))
     # Nudge exact-Γ to avoid the measure-zero harmonic point (module
     # docstring of curlcurl).
     kc = kp.k_cart.copy()
