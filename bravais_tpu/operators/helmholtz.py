@@ -133,6 +133,65 @@ class BlochHelmholtz:
         """k-independent (k=0) stiffness diagonal — GMG smoother scaling."""
         return self._diag_S
 
+    # -- fused Pallas path ---------------------------------------------------
+
+    def _elem_major(self, x, nloc_axes):
+        """(n1, l, n2, l, ...) interleaved -> (NE, l^d) element-major."""
+        d = self.space.dim
+        perm = [2 * i for i in range(d)] + [2 * i + 1 for i in range(d)]
+        return x.transpose(perm).reshape(self.space.grid.n_elements, -1)
+
+    def _elem_major_inv(self, x):
+        d = self.space.dim
+        sp = self.space
+        l = sp.p + 1
+        shp = tuple(sp.grid.shape) + (l,) * d
+        x = x.reshape(shp)
+        perm = []
+        for i in range(d):
+            perm.extend([i, d + i])
+        return x.transpose(perm)
+
+    def apply_AM_pallas(self, u: jax.Array, k: jax.Array,
+                        interpret: bool = False):
+        """(A(k) u, M u) in ONE fused Pallas kernel over element blocks
+        (operators/pallas/h1_apply.py — the App. B.4 hot kernel). The
+        periodic gather/scatter stays in XLA (cheap fused rolls)."""
+        from bravais_tpu.operators.pallas.h1_apply import \
+            helmholtz_block_apply
+        sp = self.space
+        u = u.astype(jnp.complex64) if self.dtype == jnp.complex64 \
+            else u.astype(self.dtype)
+        k = k.astype(jnp.float32)
+        ue = sp.gather(u)
+        ue_e = self._elem_major(ue, None).T   # feature-major (l^d, NE)
+        if not hasattr(self, "_pallas_const"):
+            d = sp.dim
+            perm = [2 * i for i in range(d)] + [2 * i + 1 for i in range(d)]
+            ne = sp.grid.n_elements
+            self._pallas_const = dict(
+                alpha_e=np.ascontiguousarray(
+                    self._alpha_q64.transpose(perm).reshape(ne, -1).T
+                ).astype(np.float32),
+                beta_e=np.ascontiguousarray(
+                    self._beta_q64.transpose(perm).reshape(ne, -1).T
+                ).astype(np.float32),
+                # quad_weight() is (1, q, 1, q, ...): ravel -> (q^d,)
+                wq=np.asarray(sp.quad_weight(),
+                              np.float64).ravel().astype(np.float32),
+            )
+        c = self._pallas_const
+        yr, yi, mr, mi = helmholtz_block_apply(
+            jnp.real(ue_e).astype(jnp.float32),
+            jnp.imag(ue_e).astype(jnp.float32),
+            jnp.asarray(c["alpha_e"]), jnp.asarray(c["beta_e"]), k,
+            B=self.B.astype(np.float32), D=self.D.astype(np.float32),
+            JinvT=self.JinvT.tolist(), Jinv=self.Jinv.tolist(),
+            wq=c["wq"], interpret=interpret)
+        y = self._elem_major_inv((yr + 1j * yi).T)
+        m = self._elem_major_inv((mr + 1j * mi).T)
+        return sp.scatter_add(y), sp.scatter_add(m)
+
     # -- host f64 twins (for the final Rayleigh–Ritz refinement) ------------
 
     def apply_A_np(self, u: np.ndarray, k: np.ndarray) -> np.ndarray:
