@@ -102,9 +102,14 @@ class BandSweep:
             r = self._solve_fn(self.op, X0, k, self.nev, self.tol,
                                self.maxiter, self._make_precond(k))
         else:
+            # Fused (A, M) pairs (Pallas kernel) when the operator and
+            # backend support it.
+            AM = None
+            if getattr(self.op, "supports_fused_am", lambda: False)():
+                AM = lambda x: self.op.apply_AM_pallas(x, k)
             r = lobpcg(lambda x: self.op.apply_A(x, k), self.op.apply_M,
                        X0, self.nev, maxiter=self.maxiter, tol=self.tol,
-                       precond=self._make_precond(k))
+                       precond=self._make_precond(k), AM=AM)
         return (r.eigenvalues, r.iterations, r.residual_norms,
                 to_reim(r.eigenvectors))
 

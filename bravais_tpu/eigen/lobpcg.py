@@ -63,6 +63,15 @@ def _flatten_op(op, dof_shape):
     return f
 
 
+def _flatten_op2(op, dof_shape):
+    """Like :func:`_flatten_op` for a fused op returning a PAIR
+    (A x, M x) — e.g. the Pallas fused apply."""
+    def f(X):
+        Ya, Ym = jax.vmap(lambda x: op(x.reshape(dof_shape)))(X)
+        return (Ya.reshape(X.shape[0], -1), Ym.reshape(X.shape[0], -1))
+    return f
+
+
 def _hermitize(G):
     return 0.5 * (G + jnp.conj(G.T))
 
@@ -81,7 +90,8 @@ def _whiten(G, eps):
 
 def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
            maxiter: int = 200, tol: float = 1e-6,
-           precond: Optional[Callable] = None) -> LobpcgResult:
+           precond: Optional[Callable] = None,
+           AM: Optional[Callable] = None) -> LobpcgResult:
     """LOBPCG on the Hermitian pencil (A, M) — see module docstring.
 
     ``X0``: (m, *dof_shape) complex initial block, m >= nev. ``M=None``
@@ -99,6 +109,10 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
 
     Af = _flatten_op(A, dof_shape)
     Mf = _flatten_op(M, dof_shape) if M is not None else (lambda X: X)
+    # Fused (A x, M x) operator (e.g. the Pallas kernel computes both in
+    # one pass); falls back to separate applies when not provided.
+    AMf = (_flatten_op2(AM, dof_shape) if AM is not None
+           else (lambda X: (Af(X), Mf(X))))
     Pf = _flatten_op(precond, dof_shape) if precond is not None else None
 
     X = X0.reshape(m, -1).astype(cdtype)
@@ -111,7 +125,7 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         return C.T @ X, C.T @ MX
 
     X, MX = m_orthonormalize(X, Mf(X))
-    AX = Af(X)
+    AX = Af(X)  # (X changed in orthonormalization; A of new X needed)
     zeros = jnp.zeros_like(X)
     c0 = _Carry(X=X, AX=AX, MX=MX, P=zeros, AP=zeros, MP=zeros,
                 res=jnp.full((m,), jnp.inf, rdtype),
@@ -141,7 +155,7 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         W = W * mask
         P, AP, MP = c.P * mask, c.AP * mask, c.MP * mask
 
-        AW, MW = Af(W), Mf(W)
+        AW, MW = AMf(W)
         # Normalize W and P rows to unit M-norm: keeps the S-basis Gram
         # well-scaled near convergence (else tiny-residual directions fall
         # below the whitening drop threshold and progress stalls).
@@ -194,7 +208,9 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         return jnp.logical_and(c.it < maxiter, jnp.logical_not(c.done))
 
     def seg_body(c: _Carry):
-        c = c._replace(AX=Af(c.X), MX=Mf(c.X), AP=Af(c.P), MP=Mf(c.P))
+        AXn, MXn = AMf(c.X)
+        APn, MPn = AMf(c.P)
+        c = c._replace(AX=AXn, MX=MXn, AP=APn, MP=MPn)
         it0 = c.it
         res0 = jnp.max(c.res[:nev])
 

@@ -152,6 +152,14 @@ class BlochHelmholtz:
             perm.extend([i, d + i])
         return x.transpose(perm)
 
+    def supports_fused_am(self) -> bool:
+        """Fused Pallas (A, M) is used on the TPU backend in f32 (the
+        Mosaic kernel targets TPU; CPU tests use interpret mode
+        explicitly)."""
+        import jax as _j
+        return (self.dtype == jnp.complex64
+                and _j.default_backend() not in ("cpu",))
+
     def apply_AM_pallas(self, u: jax.Array, k: jax.Array,
                         interpret: bool = False):
         """(A(k) u, M u) in ONE fused Pallas kernel over element blocks
