@@ -220,14 +220,17 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
                 jnp.logical_not(c2.done))
 
         c = jax.lax.while_loop(inner_cond, body, c)
-        # Stagnation stop: if a whole segment reduced the worst tracked
-        # residual by < 30%, we are at a numerical floor (observed in
-        # f32 near Γ, where the exact deflation solve amplifies roundoff
-        # into an ~1e-3 residual floor while the SUBSPACE — and hence
-        # the refined eigenvalues — is already converged). Burn no more.
+        # Stagnation stop: if a whole 64-iteration segment made
+        # essentially NO progress on the worst tracked residual, we are
+        # at a numerical floor (observed in f32 near Γ, where the exact
+        # deflation solve amplifies roundoff into an ~1e-3 residual
+        # floor while the refined eigenvalues are already converged).
+        # The threshold must be lax: warm-started solves legitimately
+        # crawl through <30%-per-segment plateaus mid-convergence (a
+        # 0.7 threshold was measured to stop real solves at 1.6e-3).
         res1 = jnp.max(c.res[:nev])
         floored = jnp.logical_and(jnp.isfinite(res0),
-                                  res1 > 0.7 * res0)
+                                  res1 > 0.97 * res0)
         return c._replace(done=jnp.logical_or(c.done, floored))
 
     c = jax.lax.while_loop(seg_cond, seg_body, c0)

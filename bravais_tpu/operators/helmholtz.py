@@ -155,9 +155,11 @@ class BlochHelmholtz:
     def supports_fused_am(self) -> bool:
         """Fused Pallas (A, M) is used on the TPU backend in f32 (the
         Mosaic kernel targets TPU; CPU tests use interpret mode
-        explicitly)."""
+        explicitly). BRAVAIS_DISABLE_PALLAS=1 disables (A/B testing)."""
+        import os
         import jax as _j
         return (self.dtype == jnp.complex64
+                and not os.environ.get("BRAVAIS_DISABLE_PALLAS")
                 and _j.default_backend() not in ("cpu",))
 
     def apply_AM_pallas(self, u: jax.Array, k: jax.Array,
