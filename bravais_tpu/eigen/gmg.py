@@ -212,6 +212,7 @@ class QPGMG(GMG):
     """
 
     def __init__(self, space: H1Space, alpha: CoefLike = 1.0,
+                 beta: CoefLike = 1.0, shift: float = 0.0,
                  dtype=jnp.complex64, nu: int = 3, coarse_sweeps: int = 8,
                  min_coarse: int = 2):
         from bravais_tpu.operators.qplaplace import QPLaplace
@@ -232,7 +233,8 @@ class QPGMG(GMG):
             sp = (space if i == 0
                   else H1Space.make(PeriodicGrid.make(lat, shape), p,
                                     max(p + 2, 3)))
-            op = QPLaplace(sp, alpha=alpha, dtype=dtype)
+            op = QPLaplace(sp, alpha=alpha, beta=beta, shift=shift,
+                           dtype=dtype)
             self.levels.append(_Level(op, self._lmax_host(op)))
 
         self._ptabs = []

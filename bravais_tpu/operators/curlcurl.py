@@ -488,6 +488,59 @@ class BlochCurlCurl:
 
         return pc
 
+    def qp_gmg_vec(self, shift: float, **kw):
+        """QP-GMG on the SHIFTED vector-nodal auxiliary operator
+        (μ⁻¹ Laplacian + shift·ε mass) — the Hiptmair–Xu auxiliary solve
+        for A + shift·M. Cached per shift value."""
+        key = ("_qpgmg_vec", round(float(shift), 6))
+        if not hasattr(self, "_qpgmg_vec_cache"):
+            self._qpgmg_vec_cache = {}
+        if key not in self._qpgmg_vec_cache:
+            from bravais_tpu.eigen.gmg import QPGMG
+            self._qpgmg_vec_cache[key] = QPGMG(
+                self.h1, alpha=self._mu_inv_fn, beta=self._eps_fn,
+                shift=float(shift), dtype=self.dtype, **kw)
+        return self._qpgmg_vec_cache[key]
+
+    def default_ams_shift(self) -> float:
+        """Band-scale spectral shift for the AMS preconditioner: a
+        quarter of the largest reciprocal-vector norm² ≈ the scale of
+        the first few bands."""
+        B = self.space.grid.lattice.B
+        return float(0.25 * np.max(np.sum(B * B, axis=1)))
+
+    def ams_shifted_precond(self, k, shift: float | None = None,
+                            sigma: float | None = None,
+                            vec_cycles: int = 1, grad_cycles: int = 1):
+        """SHIFTED auxiliary-space (Hiptmair–Xu / hypre-AMS analog,
+        SURVEY.md §2.2 #12, §3.4) preconditioner: approximates
+        (Ã + s·M)⁻¹ for the gradient-shifted operator Ã = A + σ M P and
+        a band-scale spectral shift s:
+
+            B r = D̃⁻¹ r + Π B_vec Πᵀ r + G L⁻¹ Gᴴ r / (σ + s)
+
+        with B_vec a QP-GMG cycle on (μ⁻¹Δ + s·ε) — the shift caps the
+        low-mode amplification that made the UNSHIFTED composition
+        counterproductive for eigensolves (see ams_precond). Single-field
+        callable; the eigensolver vmaps it over the block."""
+        s_ = float(shift if shift is not None else self.default_ams_shift())
+        sig = float(sigma if sigma is not None else self.sigma_shift)
+        gmg_g = self.qp_gmg()
+        gmg_v = self.qp_gmg_vec(s_)
+        dA = np.maximum(self._diag_A + s_ * self._diag_M,
+                        1e-12 * float(np.mean(self._diag_A)))
+
+        def pc(R):
+            z1 = R / jnp.asarray(dA)
+            zg = gmg_g.solve(k, self.apply_GkH(R, k), grad_cycles)
+            z2 = self.apply_Gk(zg, k) / (sig + s_)
+            rv = self.apply_PiT(R, k)
+            zv = jax.vmap(lambda b: gmg_v.solve(k, b, vec_cycles))(rv)
+            z3 = self.apply_Pi(zv, k)
+            return z1 + z2 + z3
+
+        return pc
+
     def apply_Lk(self, phi: jax.Array, k: jax.Array) -> jax.Array:
         """L φ = Gᴴ M_ε G φ — the quasi-periodic ε-weighted Laplacian."""
         return self.apply_GkH(self.apply_M(self.apply_Gk(phi, k), k), k)

@@ -32,3 +32,24 @@ def test_pallas_apply_matches_einsum(lat, shape, p):
     mr = op.apply_M(u)
     assert float(jnp.linalg.norm(y - yr) / jnp.linalg.norm(yr)) < 5e-7
     assert float(jnp.linalg.norm(m - mr) / jnp.linalg.norm(mr)) < 5e-7
+
+
+def test_pallas_qplaplace_matches(monkeypatch):
+    """The same fused kernel serves the quasi-periodic (deflation)
+    Laplacian with shift — k=0 in-kernel, phases in the outer gather."""
+    from bravais_tpu.operators.qplaplace import QPLaplace
+    from bravais_tpu.meshing.grid import PeriodicGrid
+
+    lattice = make_lattice("FCC")
+    sp = H1Space.make(PeriodicGrid.make(lattice, 4), 2)
+    op = QPLaplace(sp, alpha=lambda x: 1 + np.sum(x ** 2, -1), beta=2.0,
+                   shift=3.5, dtype=jnp.complex64)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray((rng.standard_normal(sp.dof_shape)
+                     + 1j * rng.standard_normal(sp.dof_shape)
+                     ).astype(np.complex64))
+    k = jnp.asarray(lattice.k_cart((0.3, 0.2, 0.1)), jnp.float32)
+    y_ref = op.apply_A(u, k)
+    y_pal = op.apply_A(u, k, interpret=True, force_pallas=True)
+    assert float(jnp.linalg.norm(y_pal - y_ref)
+                 / jnp.linalg.norm(y_ref)) < 5e-7
