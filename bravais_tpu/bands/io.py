@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["BandWriter", "load_bands", "plot_bands"]
+__all__ = ["BandWriter", "load_bands", "plot_bands", "write_csv"]
 
 
 def _config_hash(config: Dict) -> str:
@@ -74,6 +74,22 @@ class BandWriter:
     @property
     def finished(self) -> List[int]:
         return list(self.manifest["finished"])
+
+
+def write_csv(path, kpath, eigenvalues) -> None:
+    """Plain-text band table (one row per k: path distance, fractional
+    k, bands) — the reference's printed band-data equivalent."""
+    import csv
+    nev = eigenvalues.shape[1]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["dist"] + [f"kfrac{i}" for i in
+                               range(kpath.k_frac.shape[1])]
+                   + [f"band{b}" for b in range(nev)])
+        for i in range(kpath.nk):
+            w.writerow([f"{kpath.dist[i]:.8g}"]
+                       + [f"{x:.8g}" for x in kpath.k_frac[i]]
+                       + [f"{v:.10g}" for v in eigenvalues[i]])
 
 
 def load_bands(run_dir):

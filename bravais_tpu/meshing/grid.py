@@ -7,6 +7,14 @@ spanned by a_1..a_d is meshed by a logically-rectangular n_1 x .. x n_d
 grid, periodic by index arithmetic. Every element shares ONE affine
 Jacobian, so the whole geometry reduces to a handful of constant d x d
 matrices — the key structural win for the TPU rebuild (SURVEY.md §7.0).
+
+Wigner–Seitz cells (the reference's ``GetWignerSeitzMesh`` option) are
+deliberately NOT meshed: any primitive cell tiles the lattice, and the
+Bloch spectra are identical for every choice of fundamental domain —
+the parallelepiped keeps the mesh logically rectangular. Geometry that
+the reference expresses through the WS cell boundary is expressed here
+through coefficients sampled at quadrature points (ε(x) with the
+periodic-nearest-image distance, operators/coefficients.py).
 """
 
 from __future__ import annotations

@@ -89,3 +89,15 @@ def test_plot_bands(tmp_path):
     vals = np.linspace(0, 2, 12)[:, None] + np.arange(3)[None, :]
     out = plot_bands(kp, vals, path=tmp_path / "bands.png")
     assert (tmp_path / "bands.png").exists()
+
+
+def test_write_csv(tmp_path):
+    from bravais_tpu.bands.io import write_csv
+    lat, _ = _setup()
+    kp = kpath(lat, npts=8)
+    vals = np.linspace(0, 2, kp.nk)[:, None] + np.arange(3)[None, :]
+    p = tmp_path / "bands.csv"
+    write_csv(p, kp, vals)
+    lines = p.read_text().strip().splitlines()
+    assert len(lines) == kp.nk + 1
+    assert lines[0].startswith("dist,kfrac0,kfrac1,band0")
