@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--mode", choices=["warm", "batched"], default="warm")
     ap.add_argument("--cg-iters", type=int, default=20)
+    ap.add_argument("--maxiter", type=int, default=0,
+                    help="LOBPCG maxiter (0 = per-problem default)")
     args = ap.parse_args()
 
     import numpy as np
@@ -63,7 +65,8 @@ def main():
         solve_fn = op.make_solve_fn(cg_iters=args.cg_iters,
                                     deflation_gmg=True)
         sweep = BandSweep(op, nev=args.nev, block=args.nev + 6,
-                          tol=args.tol, maxiter=250, solve_fn=solve_fn)
+                          tol=args.tol, maxiter=args.maxiter or 250,
+                          solve_fn=solve_fn)
         metric = (f"k-point eigensolves/sec (FCC Maxwell G-X-W-L, "
                   f"{args.nev} bands, n={n} p={p}; solver tol {args.tol:g},"
                   f" achieved eig err reported in detail)")
@@ -77,7 +80,8 @@ def main():
         kp = kpath(lat, npts=args.nk)
         sp = H1Space.make(PeriodicGrid.make(lat, n), p)
         op = BlochHelmholtz(sp, dtype=jnp.complex64)
-        sweep = BandSweep(op, nev=args.nev, tol=args.tol, maxiter=400)
+        sweep = BandSweep(op, nev=args.nev, tol=args.tol,
+                          maxiter=args.maxiter or 400)
         metric = (f"k-point eigensolves/sec (2D square scalar Helmholtz, "
                   f"{args.nev} bands, eig tol {args.tol:g}, n={n} p={p})")
         mmax, mult = 5, 1
