@@ -34,3 +34,25 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from bravais_tpu.lattices import Lattice, make_lattice, kpath  # noqa: F401,E402
+
+
+def __getattr__(name):
+    # Lazy convenience exports (avoid importing the full stack on
+    # `import bravais_tpu`).
+    lazy = {
+        "PeriodicGrid": ("bravais_tpu.meshing.grid", "PeriodicGrid"),
+        "H1Space": ("bravais_tpu.spaces.h1", "H1Space"),
+        "NedelecSpace": ("bravais_tpu.spaces.nedelec", "NedelecSpace"),
+        "BlochHelmholtz": ("bravais_tpu.operators.helmholtz",
+                           "BlochHelmholtz"),
+        "BlochCurlCurl": ("bravais_tpu.operators.curlcurl",
+                          "BlochCurlCurl"),
+        "BandSweep": ("bravais_tpu.bands.sweep", "BandSweep"),
+        "lobpcg": ("bravais_tpu.eigen.lobpcg", "lobpcg"),
+        "GMG": ("bravais_tpu.eigen.gmg", "GMG"),
+    }
+    if name in lazy:
+        import importlib
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'bravais_tpu' has no attribute {name!r}")
