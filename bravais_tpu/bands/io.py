@@ -9,7 +9,6 @@ finished chunk (``resume=True``).
 
 from __future__ import annotations
 
-import dataclasses
 import hashlib
 import json
 import pathlib

@@ -9,7 +9,7 @@ manifest for checkpoint/resume identity.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 __all__ = ["RunConfig"]
 

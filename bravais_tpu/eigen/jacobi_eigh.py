@@ -21,7 +21,7 @@ shapes. Converges quadratically; 10 sweeps is ample for n ≤ 64 in f32.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ inside/outside value through a predicate or a smoothed indicator.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import numpy as np
 
