@@ -78,6 +78,7 @@ class BandSweep:
         self._solve_fn = solve_fn  # override hook (e.g. Maxwell deflation)
         self._jit_batched = None
         self._jit_single = None
+        self._jit_seg = None
         # Precision plan (SURVEY.md §7.0): in f32, converge residuals to
         # ~1e-5 on device, then one host f64 Rayleigh–Ritz recovers
         # eigenvalue accuracy ≪1e-6 (residual² error). ``tol`` below the
@@ -121,10 +122,15 @@ class BandSweep:
 
     # -- throughput mode ----------------------------------------------------
 
-    def run(self, k_cart: np.ndarray, mesh=None, chunk: Optional[int] = None
+    def run(self, k_cart: np.ndarray, mesh=None, chunk: Optional[int] = None,
+            writer=None, k_index: Optional[np.ndarray] = None
             ) -> SweepResult:
         """Batched sweep: all k-points vmapped; optionally sharded over
-        ``mesh`` (1D device mesh, axis "k") and split into chunks."""
+        ``mesh`` (1D device mesh, axis "k") and split into chunks.
+
+        ``writer`` (bands.io.BandWriter): every finished chunk is
+        written to disk IMMEDIATELY (crash-safe checkpointing, SURVEY.md
+        §5) under global indices ``k_index`` (default 0..nk-1)."""
         sp = self.op.space
         rdtype = np.dtype(self.op.rdtype)
         k_cart = np.asarray(k_cart, rdtype)
@@ -132,6 +138,7 @@ class BandSweep:
         ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         chunk = chunk or nk
         chunk = max(chunk, ndev)
+        chunk = ((chunk + ndev - 1) // ndev) * ndev  # ndev-aligned
 
         nout = 4 if self.refine else 3
         if self._jit_batched is None:
@@ -154,7 +161,11 @@ class BandSweep:
         first = True
         for s in range(0, nk, chunk):
             ks = k_cart[s:s + chunk]
-            pad = (-len(ks)) % ndev
+            # Pad every chunk to the FULL chunk length (not just to a
+            # multiple of ndev): a ragged final chunk would change the
+            # jitted batch shape and recompile for one launch (minutes
+            # on the axon platform).
+            pad = chunk - len(ks)
             if pad:
                 ks = np.concatenate([ks, np.repeat(ks[-1:], pad, axis=0)])
             t0 = time.time()
@@ -178,14 +189,21 @@ class BandSweep:
             its_all = np.concatenate([its_all,
                                       np.asarray(its)[:nkeep].astype(np.int32)])
             res_all = np.concatenate([res_all, np.asarray(res)[:nkeep]])
+            if writer is not None:
+                gidx = (k_index[s:s + nkeep] if k_index is not None
+                        else range(s, s + nkeep))
+                writer.write_chunk(gidx, lam[:nkeep, :self.nev],
+                                   its[:nkeep], res[:nkeep, :self.nev])
         return SweepResult(lam_all, its_all, res_all, wall_s=wall,
                            compile_s=compile_s)
 
     # -- latency / warm-start mode ------------------------------------------
 
-    def run_warm(self, k_cart: np.ndarray) -> SweepResult:
+    def run_warm(self, k_cart: np.ndarray, writer=None,
+                 k_index: Optional[np.ndarray] = None) -> SweepResult:
         """Sequential sweep warm-starting each k from the previous
-        eigenvector block (App. C.5 regime b)."""
+        eigenvector block (App. C.5 regime b). With ``writer``, every
+        finished k-point is checkpointed immediately."""
         sp = self.op.space
         rdtype = np.dtype(self.op.rdtype)
         k_cart = np.asarray(k_cart, rdtype)
@@ -213,7 +231,85 @@ class BandSweep:
             lams.append(lam)
             itss.append(int(its))
             ress.append(res)
+            if writer is not None:
+                gi = int(k_index[i]) if k_index is not None else i
+                writer.write_chunk([gi], lam[None, :self.nev],
+                                   [int(its)], res[None, :self.nev])
             X0 = X_reim  # stays on device; real-stacked (axon rule)
         return SweepResult(np.asarray(lams), np.asarray(itss, np.int32),
                            np.asarray(ress), wall_s=wall,
+                           compile_s=compile_s)
+
+    # -- combined regime: warm within segments, sharded across them ---------
+
+    def run_warm_sharded(self, k_cart: np.ndarray, mesh, writer=None,
+                         k_index: Optional[np.ndarray] = None
+                         ) -> SweepResult:
+        """App. C.5 combined regime: the path is split into ``ndev``
+        CONTIGUOUS segments; one launch per path position solves all
+        segments' current k-points in parallel (vmapped, segment axis
+        sharded over ``mesh``), each warm-started from its segment's
+        previous eigenvectors. Wall-clock scales as nk/ndev while
+        keeping the warm-start iteration savings within each segment."""
+        sp = self.op.space
+        rdtype = np.dtype(self.op.rdtype)
+        k_cart = np.asarray(k_cart, rdtype)
+        nk, d = k_cart.shape
+        ndev = int(np.prod(mesh.devices.shape))
+        per = (nk + ndev - 1) // ndev
+        pad = ndev * per - nk
+        kp_ = np.concatenate([k_cart, np.repeat(k_cart[-1:], pad, axis=0)])
+        kseg = kp_.reshape(ndev, per, d)
+
+        if self._jit_seg is None:
+            batched = jax.vmap(self._solve, in_axes=(0, 0))
+            self._jit_seg = jax.jit(
+                batched,
+                in_shardings=(shard_k(mesh), shard_k(mesh)),
+                out_shardings=shard_k(mesh))
+
+        shp = (self.m,) + tuple(getattr(sp, "field_shape", sp.dof_shape))
+        X0 = jnp.asarray(np.broadcast_to(
+            self._x0_np(shp[1:], rdtype)[None], (ndev, 2) + shp).copy())
+        lam_all = np.zeros((ndev, per, self.nev), rdtype)
+        its_all = np.zeros((ndev, per), np.int32)
+        res_all = np.zeros((ndev, per, self.nev), rdtype)
+        wall = compile_s = 0.0
+        for t in range(per):
+            t0 = time.time()
+            lam, its, res, X_reim = self._jit_seg(
+                X0, jnp.asarray(kseg[:, t]))
+            lam = np.array(lam)
+            res = np.array(res)
+            if self.refine:
+                for s_ in range(ndev):
+                    gi = s_ * per + t
+                    if gi >= nk:
+                        continue
+                    lam[s_, :self.nev], res[s_, :self.nev] = \
+                        host_rayleigh_ritz(self.op,
+                                           np.asarray(X_reim[s_]),
+                                           kseg[s_, t], self.nev)
+            dt = time.time() - t0
+            if t == 0:
+                compile_s = dt
+            else:
+                wall += dt
+            lam_all[:, t] = lam[:, :self.nev]
+            its_all[:, t] = np.asarray(its)
+            res_all[:, t] = res[:, :self.nev]
+            if writer is not None:
+                gis = [s_ * per + t for s_ in range(ndev)
+                       if s_ * per + t < nk]
+                rows = [s_ for s_ in range(ndev) if s_ * per + t < nk]
+                gout = ([int(k_index[g]) for g in gis]
+                        if k_index is not None else gis)
+                writer.write_chunk(gout, lam[rows, :self.nev],
+                                   np.asarray(its)[rows], res[rows,
+                                                              :self.nev])
+            X0 = X_reim
+        lam_flat = lam_all.reshape(ndev * per, self.nev)[:nk]
+        its_flat = its_all.reshape(ndev * per)[:nk]
+        res_flat = res_all.reshape(ndev * per, self.nev)[:nk]
+        return SweepResult(lam_flat, its_flat, res_flat, wall_s=wall,
                            compile_s=compile_s)

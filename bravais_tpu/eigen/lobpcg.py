@@ -91,11 +91,17 @@ def _whiten(G, eps):
 def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
            maxiter: int = 200, tol: float = 1e-6,
            precond: Optional[Callable] = None,
-           AM: Optional[Callable] = None) -> LobpcgResult:
+           AM: Optional[Callable] = None,
+           scale_floor: float = 3e-2) -> LobpcgResult:
     """LOBPCG on the Hermitian pencil (A, M) — see module docstring.
 
     ``X0``: (m, *dof_shape) complex initial block, m >= nev. ``M=None``
-    means identity mass. Relative residual: ‖Ax − λMx‖ / max(|λ|, 1e-3).
+    means identity mass. Relative residual: ‖Ax − λMx‖ / scale with
+    scale = max(|λ_j|, ``scale_floor``·max|λ|, 1e-3) — the floor lets
+    near-zero bands (e.g. the ω²→0 Maxwell bands near Γ) converge
+    without demanding absolute accuracy below the dtype's apply-noise
+    floor. Callers that certify eigenvalues independently (the f64
+    host Rayleigh–Ritz refine) may relax it (e.g. 0.3 in f32).
     Traced end-to-end (lax.while_loop): jit/vmap/shard_map-safe; under
     vmap the loop runs until every batch element converges.
     """
@@ -106,6 +112,7 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     cdtype = X0.dtype
     rdtype = jnp.finfo(cdtype).dtype
     eps = jnp.asarray(50.0 * jnp.finfo(rdtype).eps, rdtype)
+    floor = jnp.asarray(scale_floor, rdtype)
 
     Af = _flatten_op(A, dof_shape)
     Mf = _flatten_op(M, dof_shape) if M is not None else (lambda X: X)
@@ -142,9 +149,13 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         # Residual scale: per-band |λ|, floored by a fraction of the block
         # spectrum so zero modes (e.g. the λ=0 band at Γ) can converge.
         scale = jnp.maximum(jnp.abs(lam),
-                            jnp.maximum(3e-2 * jnp.max(jnp.abs(lam)),
+                            jnp.maximum(floor * jnp.max(jnp.abs(lam)),
                                         jnp.asarray(1e-3, rdtype)))
         rel = jnp.linalg.norm(R, axis=1) / scale
+        # A whitening-dropped (all-zero) row has lam=0, R=0 — it must
+        # read as UNconverged (+inf), not as a spurious eigenvalue 0.
+        xnorm = jnp.real(jnp.sum(jnp.conj(X) * MX, axis=1))
+        rel = jnp.where(xnorm > 0.5, rel, jnp.inf)
         conv = rel < tol
 
         W = Pf(R) if Pf is not None else R
@@ -241,8 +252,13 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     lam = jnp.real(jnp.sum(jnp.conj(c.X) * c.AX, axis=1)) / nrm
     R = c.AX - c.MX * lam[:, None].astype(cdtype)
     rel = jnp.linalg.norm(R, axis=1) / jnp.maximum(
-        jnp.abs(lam), jnp.maximum(3e-2 * jnp.max(jnp.abs(lam)),
+        jnp.abs(lam), jnp.maximum(floor * jnp.max(jnp.abs(lam)),
                                   jnp.asarray(1e-3, rdtype)))
+    # Zero (whitening-dropped) rows: mark unconverged AND sort last so a
+    # spurious λ=0 can never displace a real band from the nev window.
+    healthy = nrm > 0.5 * jnp.max(nrm)
+    rel = jnp.where(healthy, rel, jnp.inf)
+    lam = jnp.where(healthy, lam, jnp.inf)
     order = jnp.argsort(lam)
     lam, rel = lam[order], rel[order]
     Xout = c.X[order]

@@ -34,8 +34,15 @@ def host_rayleigh_ritz(op, X_reim: np.ndarray, k: np.ndarray, nev: int
     """
     X = from_reim_np(np.asarray(X_reim)).astype(np.complex128)
     m = X.shape[0]
-    Xf = X.reshape(m, -1)
     k = np.asarray(k, np.float64)
+    if (hasattr(op, "gradient_component_np")
+            and min(op.space.grid.shape) >= 3):
+        # Maxwell: project kernel (gradient) leakage out of the block in
+        # f64 BEFORE the RR — guard rows from maxiter-exhausted f32
+        # solves can carry gradient components whose Rayleigh quotient
+        # ~0 would otherwise surface as a spurious low band (ADVICE r1).
+        X = X - op.gradient_component_np(X, k)
+    Xf = X.reshape(m, -1)
 
     AX = np.stack([op.apply_A_np(x, k).ravel() for x in X])
     MX = np.stack([op.apply_M_np(x, k).ravel() for x in X])

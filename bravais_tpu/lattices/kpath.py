@@ -67,7 +67,13 @@ def kpath(lattice: Lattice, npts: int = 64,
             cu, cv = lattice.k_cart(pts[u]), lattice.k_cart(pts[v])
             legs.append((u, v, cu, cv, float(np.linalg.norm(cv - cu)), si))
     total_len = sum(l[4] for l in legs)
-    n_interior = max(npts - (len(subpaths) + len(legs)), 0)
+    n_min = len(subpaths) + len(legs)
+    if npts < n_min:
+        raise ValueError(f"npts={npts} cannot hold every symmetry point; "
+                         f"this path needs npts >= {n_min}")
+    if total_len <= 0.0:
+        raise ValueError("k-path has zero total length (repeated points?)")
+    n_interior = npts - n_min
 
     # Distribute interior points by leg length (largest-remainder rounding).
     quotas = [l[4] / total_len * n_interior for l in legs]

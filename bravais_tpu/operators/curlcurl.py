@@ -364,6 +364,80 @@ class BlochCurlCurl:
             y[s] = y[s] - tensor.contract_t_np(cf[r], dtab(s, t))
         return np.stack([scat(y[c], c) for c in range(3)])
 
+    def apply_Gk_np(self, phi, k):
+        """f64 host twin of :meth:`apply_Gk`."""
+        sp = self.space
+        ph = self._np_phases(k)
+        phi = np.asarray(phi, np.complex128)
+        out = []
+        for c in range(3):
+            g = tensor.gather_axis_np(phi, c, sp.grid.shape[c], sp.p,
+                                      ph[c])
+            d = np.moveaxis(
+                np.tensordot(sp.Dnode, g, axes=((1,), (c + 1,))), 0, c + 1)
+            shape = d.shape
+            out.append(d.reshape(*shape[:c], sp.grid.shape[c] * sp.p,
+                                 *shape[c + 2:]))
+        return np.stack(out)
+
+    def apply_GkH_np(self, u, k):
+        """f64 host twin of :meth:`apply_GkH`."""
+        sp = self.space
+        ph = self._np_phases(k)
+        u = np.asarray(u, np.complex128)
+        acc = 0.0
+        for c in range(3):
+            shape = u[c].shape
+            r = u[c].reshape(*shape[:c], sp.grid.shape[c], sp.p,
+                             *shape[c + 1:])
+            d = np.moveaxis(
+                np.tensordot(sp.Dnode, r, axes=((0,), (c + 1,))), 0, c + 1)
+            acc = acc + tensor.scatter_add_axis_np(d, c, sp.grid.shape[c],
+                                                   sp.p, ph[c])
+        return acc
+
+    def gradient_component_np(self, u, k, cg_iters: int = 12) -> np.ndarray:
+        """f64 host P u = G L⁻¹ Gᴴ M u — the refine-stage leakage
+        cleanup (ADVICE r1 #2): exact fast-diagonal solve when ε is
+        element-invariant, else fd-preconditioned CG on the true L.
+        ``u`` may have a leading block axis (m, 3, N₁, N₂, N₃)."""
+        k = np.asarray(k, np.float64)
+        u = np.asarray(u, np.complex128)
+        if u.ndim == 5:  # block of fields: reuse one factorization
+            lsolve = self.fastdiag_L().solver_np([("L", 1.0)], k)
+            return np.stack([self._grad_comp_np_one(x, k, lsolve,
+                                                    cg_iters)
+                             for x in u])
+        lsolve = self.fastdiag_L().solver_np([("L", 1.0)], k)
+        return self._grad_comp_np_one(u, k, lsolve, cg_iters)
+
+    def _grad_comp_np_one(self, u, k, lsolve, cg_iters):
+        rhs = self.apply_GkH_np(self.apply_M_np(u, k), k)
+        phi = lsolve(rhs)
+        if not self._coef_elem_invariant():
+            # lsolve is the mean-ε solve: polish with preconditioned CG
+            # on the true L (f64; exactness only matters for kernel dirs)
+            def L(x):
+                return self.apply_GkH_np(
+                    self.apply_M_np(self.apply_Gk_np(x, k), k), k)
+
+            r = rhs - L(phi)
+            p_ = lsolve(r)
+            rz = np.vdot(r, p_)
+            for _ in range(cg_iters):
+                Ap = L(p_)
+                denom = np.vdot(p_, Ap)
+                if abs(denom) < 1e-300 or abs(rz) < 1e-300:
+                    break
+                alpha = rz / denom
+                phi = phi + alpha * p_
+                r = r - alpha * Ap
+                z = lsolve(r)
+                rz_new = np.vdot(r, z)
+                p_ = z + (rz_new / rz) * p_
+                rz = rz_new
+        return self.apply_Gk_np(phi, k)
+
     def apply_A_np(self, u, k):
         return self._apply_np(u, k, "A")
 
@@ -541,6 +615,118 @@ class BlochCurlCurl:
 
         return pc
 
+    # ------------------------------------------------------------------
+    # Fast block-diagonalization (twisted DFT) — operators/fastdiag.py
+    # ------------------------------------------------------------------
+
+    def _coef_elem_invariant(self) -> bool:
+        """True when ε and μ⁻¹ repeat identically in every element
+        (includes constants) — then the FastDiag factorization is EXACT."""
+        q = self.space.q
+        for a in (self._eps_q64, self._mu_inv_q64):
+            a6 = np.broadcast_to(
+                a, tuple(x for n in self.space.grid.shape
+                         for x in (n, q)))
+            ref = a6[:1, :, :1, :, :1, :]
+            if not np.allclose(a6, ref, rtol=1e-12, atol=0.0):
+                return False
+        return True
+
+    def fastdiag(self):
+        """FastDiag bundle with "A" and "M" stencils. Exact when the
+        coefficients are element-translation-invariant (every headline
+        empty-lattice config); otherwise built from the MEAN-coefficient
+        twin — still a spectrally equivalent (contrast-bounded)
+        preconditioner. Host setup, cached."""
+        if not hasattr(self, "_fd"):
+            from bravais_tpu.operators.fastdiag import FastDiag
+            sp = self.space
+            if self._coef_elem_invariant():
+                twin = self
+            else:
+                twin = BlochCurlCurl(
+                    sp, eps=float(np.mean(self._eps_q64)),
+                    mu_inv=float(np.mean(self._mu_inv_q64)),
+                    dtype=self.dtype)
+            k0 = np.zeros(3)
+            fd = FastDiag(sp.grid.shape, sp.p, 3, self.A_rows, self.dtype)
+            fd.add_stencil("A", lambda u: twin.apply_A_np(u, k0))
+            fd.add_stencil("M", lambda u: twin.apply_M_np(u, k0))
+            self._fd = fd
+        return self._fd
+
+    def fastdiag_L(self):
+        """Scalar FastDiag with the deflation-Laplacian stencil "L"
+        (L = Gᴴ M_ε G ≡ QPLaplace(α=ε) at matching quadrature)."""
+        if not hasattr(self, "_fdL"):
+            from bravais_tpu.operators.fastdiag import FastDiag
+            from bravais_tpu.operators.qplaplace import QPLaplace
+            eps = (self._eps_fn if self._coef_elem_invariant()
+                   else float(np.mean(self._eps_q64)))
+            qpl = QPLaplace(self.h1, alpha=eps, dtype=self.dtype)
+            fd = FastDiag(self.h1.grid.shape, self.h1.p, 1, self.A_rows,
+                          self.dtype)
+            k0 = np.zeros(3)
+            fd.add_stencil("L", lambda u: qpl.apply_A_np(u, k0))
+            self._fdL = fd
+        return self._fdL
+
+    def fastdiag_G(self):
+        """The fastdiag bundle with the rectangular discrete-gradient
+        stencil "G" (ND ← H1) added — the spectral engine builds the
+        deflation operator L = GᴴMG directly in block space from it."""
+        fd = self.fastdiag()
+        if "G" not in fd.stencils:
+            from bravais_tpu.operators.fastdiag import extract_stencil_rect
+            k0 = np.zeros(3)
+            fd.stencils["G"] = extract_stencil_rect(
+                lambda u: self.apply_Gk_np(u, k0), 3, 1,
+                self.space.grid.shape, self.space.p)
+        return fd
+
+    def default_fd_shift(self) -> float:
+        """Spectral shift s for the (A + sM)⁻¹ fast-diagonal
+        preconditioner: the band scale (≈ first-bands magnitude), so
+        low physical modes get gain ~1/(λ+s) ≳ 1/(2s) while the huge
+        high end is crushed — the classic shifted-inverse balance."""
+        B = self.space.grid.lattice.B
+        return float(0.5 * np.max(np.sum(B * B, axis=1)))
+
+    def fd_sigma(self, m: int) -> float:
+        """Kernel shift σ matched to the fast-diagonal preconditioner:
+        ≈2.5× an empty-lattice upper estimate of the m-th block
+        eigenvalue (scaled by mean ε). Kernel directions land just above
+        the block's bands — far enough to repel leakage, close enough
+        that (A+sM)⁻¹ keeps the preconditioned spectrum tight. The
+        λmax-scale default (:attr:`sigma_shift`) was measured to
+        TRIPLE the iteration count under the fd preconditioner (σ/s ≫ 1
+        re-inflates the preconditioned spectrum) and is also the
+        f32-noise amplifier of the round-1 n=8 p=3 failure."""
+        import itertools as _it
+        lat = self.space.grid.lattice
+        kc = 0.5 * lat.B.sum(axis=0)
+        vals = sorted(float(np.sum((kc + np.asarray(mm, np.float64)
+                                    @ lat.B) ** 2))
+                      for mm in _it.product(range(-3, 4), repeat=3))
+        vals = sorted(v for v in vals[:m] for _ in (0, 1))[:m]
+        lam_m = vals[-1] / max(float(np.mean(self._eps_q64)), 1e-30)
+        return max(2.5 * lam_m, 2.0 * self.default_fd_shift())
+
+    def fd_precond(self, k, shift: float | None = None):
+        """Outer LOBPCG preconditioner  R ↦ (A + sM)⁻¹ R  via the fast
+        block-diagonalization (the hypre-AMS replacement, SURVEY.md
+        §2.2 #12). Single-field callable; k may be traced."""
+        s_ = float(shift if shift is not None else self.default_fd_shift())
+        return self.fastdiag().solver([("A", 1.0), ("M", s_)], k)
+
+    def gradient_component_fd(self, u: jax.Array, k: jax.Array) -> jax.Array:
+        """P u via the DIRECT fast-diagonal L-solve (exact projector for
+        element-invariant ε). Spectral (eigh) inverse: stable on the
+        ill-conditioned near-Γ block, pseudo-inverse at exact Γ."""
+        lsolve = self.fastdiag_L().solver([("L", 1.0)], k, method="eigh")
+        rhs = self.apply_GkH(self.apply_M(u, k), k)
+        return self.apply_Gk(lsolve(rhs), k)
+
     def apply_Lk(self, phi: jax.Array, k: jax.Array) -> jax.Array:
         """L φ = Gᴴ M_ε G φ — the quasi-periodic ε-weighted Laplacian."""
         return self.apply_GkH(self.apply_M(self.apply_Gk(phi, k), k), k)
@@ -610,7 +796,12 @@ class BlochCurlCurl:
 
     def make_solve_fn(self, cg_iters: int = 25,
                       sigma: float | None = None,
-                      deflation_gmg: bool = False) -> Callable:
+                      deflation_gmg: bool = False,
+                      deflation: str | None = None,
+                      precond: str | None = None,
+                      fd_shift: float | None = None,
+                      scale_floor: float | None = None,
+                      engine: str = "field") -> Callable:
         """Solve hook for BandSweep: LOBPCG on the gradient-shifted
         operator Ã = A + σ·M P (P = gradient projector).
 
@@ -621,27 +812,148 @@ class BlochCurlCurl:
         after ~200 f64 iterations). The shift makes kernel directions
         spectrally repulsive (eigenvalue σ) while leaving physical modes
         untouched EXACTLY (Gᴴ M u_phys = 0), so leakage self-corrects.
+
+        ``deflation``: "cg" (Jacobi-CG, ``cg_iters``), "gmg" (QPGMG
+        cycles), "fastdiag" (σ-shift with the direct twisted-DFT solve),
+        or "project" (per-iteration (I−P) projection of the
+        preconditioned residuals with the exact fast-diagonal projector
+        — NO σ term at all; the production default). Why "project"
+        beats the shift in f32: P carries absolute noise ~ε/√w₀ from
+        the f32 rhs; the shift formulation injects σ·(that noise) into
+        every operator apply (measured: an 87-iteration near-Γ crawl at
+        n=6 p=3 vs 19 in f64), while under projection the noise lands
+        in the kernel where A annihilates it — residuals never see it.
+        Projected iterations were unstable in round 1 ONLY because the
+        CG-based projector was inexact (divergence at W after ~200
+        iters); the spectral fast-diagonal projector removes that.
+
+        ``precond``: None (use the preconditioner the sweep passes in,
+        default Jacobi) or "fastdiag" ((A + sM)⁻¹ via the block
+        factorization — the hypre-AMS replacement). All fast-diagonal
+        pieces are built ONCE per k-point, outside the LOBPCG loop.
         """
         from bravais_tpu.eigen.lobpcg import lobpcg
 
-        if deflation_gmg:
+        # f32 residual-scale floor: the ω²→0 bands near Γ cannot reach
+        # absolute residuals below the f32 apply-noise floor; the f64
+        # host refine certifies their eigenvalues independently, so the
+        # device loop may stop at a proportionally looser scale.
+        sfloor = scale_floor if scale_floor is not None else (
+            0.3 if jnp.dtype(self.dtype) == jnp.complex64 else 3e-2)
+        if engine == "spectral":
+            return self._make_spectral_solve_fn(fd_shift, sfloor)
+        defl = deflation or ("gmg" if deflation_gmg else "cg")
+        if defl == "gmg":
             self.qp_gmg()  # build hierarchy eagerly (host setup)
+        if defl in ("fastdiag", "project"):
+            self.fastdiag_L()  # host stencil extraction, cached
+        if precond == "fastdiag":
+            self.fastdiag()
 
-        def solve(op, X0, k, nev, tol, maxiter, precond):
-            sig = jnp.asarray(sigma if sigma is not None
-                              else op.sigma_shift, op.rdtype)
-            if deflation_gmg:
+        def solve(op, X0, k, nev, tol, maxiter, precond_in):
+            if defl in ("fastdiag", "project"):
+                lsolve = op.fastdiag_L().solver([("L", 1.0)], k,
+                                                method="eigh")
+
+                def proj(u):
+                    rhs = op.apply_GkH(op.apply_M(u, k), k)
+                    return op.apply_Gk(lsolve(rhs), k)
+            elif defl == "gmg":
                 proj = partial(op.gradient_component_gmg, k=k)
             else:
                 proj = partial(op.gradient_component, k=k,
                                cg_iters=cg_iters)
             X0p = X0 - jax.vmap(proj)(X0)
 
+            if precond == "fastdiag":
+                pc = op.fd_precond(k, shift=fd_shift)
+            else:
+                pc = precond_in
+
+            if defl == "project":
+                pc_proj = ((lambda R: (lambda z: z - proj(z))(pc(R)))
+                           if pc is not None else
+                           (lambda R: R - proj(R)))
+                return lobpcg(lambda x: op.apply_A(x, k),
+                              lambda x: op.apply_M(x, k), X0p,
+                              nev, maxiter=maxiter, tol=tol,
+                              precond=pc_proj, scale_floor=sfloor)
+
+            if sigma is not None:
+                sig_val = sigma
+            elif precond == "fastdiag":
+                sig_val = op.fd_sigma(X0.shape[0])
+            else:
+                sig_val = op.sigma_shift
+            sig = jnp.asarray(sig_val, op.rdtype)
+
             def A_shifted(x):
                 return op.apply_A(x, k) + sig * op.apply_M(proj(x), k)
 
             return lobpcg(A_shifted, lambda x: op.apply_M(x, k), X0p,
-                          nev, maxiter=maxiter, tol=tol, precond=precond)
+                          nev, maxiter=maxiter, tol=tol, precond=pc,
+                          scale_floor=sfloor)
+
+        return solve
+
+    def _make_spectral_solve_fn(self, fd_shift, sfloor) -> Callable:
+        """LOBPCG run ENTIRELY in the twisted-DFT block basis — the
+        maximum-MXU path for element-translation-invariant coefficients
+        (every empty-lattice config, incl. the headline benchmark).
+
+        One transform in, one transform out; every per-iteration
+        operation (A, M, the exact gradient projector, the (A+sM)⁻¹
+        preconditioner) is a batched D×D block matvec. F/√(Πn) is
+        unitary, so the pencil in block coordinates is unitarily
+        similar to (A, M): identical eigenvalues, identical relative
+        residuals; eigenvectors are back-transformed at the end.
+        """
+        from bravais_tpu.eigen.jacobi_eigh import jacobi_eigh
+        from bravais_tpu.eigen.lobpcg import lobpcg
+
+        if not self._coef_elem_invariant():
+            raise ValueError(
+                "engine='spectral' requires element-translation-"
+                "invariant coefficients; use the field engine")
+        self.fastdiag_G()  # host stencil extraction (A, M, G), cached
+
+        def solve(op, X0, k, nev, tol, maxiter, precond_in):
+            fd = op.fastdiag_G()
+            theta = fd._theta(k)
+            F = fd._fwd_mats(theta)
+            TA = fd.blocks([("A", 1.0)], k)
+            TM = fd.blocks([("M", 1.0)], k)
+            TG = fd.blocks([("G", 1.0)], k)          # (B, Dnd, Dh1)
+            TGH = jnp.conj(jnp.swapaxes(TG, -1, -2))
+            s_ = float(fd_shift if fd_shift is not None
+                       else op.default_fd_shift())
+            Tpc = jnp.linalg.inv(TA + s_ * TM)
+            Lb = TGH @ TM @ TG                        # (B, Dh1, Dh1)
+            w, V = jacobi_eigh(Lb)
+            good = w > 0.0
+            winv = jnp.where(good, 1.0 / jnp.where(good, w, 1.0), 0.0)
+            VH = jnp.conj(jnp.swapaxes(V, -1, -2))
+
+            def bmv(T, x):
+                return jnp.einsum("bij,bj->bi", T, x)
+
+            def proj(x):
+                r = bmv(TGH, bmv(TM, x))
+                phi = bmv(V, winv.astype(x.dtype) * bmv(VH, r))
+                return bmv(TG, phi)
+
+            def pc(R):
+                z = bmv(Tpc, R)
+                return z - proj(z)
+
+            X0b = jax.vmap(lambda x: fd.to_blocks(x, F))(X0)
+            X0b = X0b - jax.vmap(proj)(X0b)
+            res = lobpcg(lambda x: bmv(TA, x), lambda x: bmv(TM, x),
+                         X0b, nev, maxiter=maxiter, tol=tol, precond=pc,
+                         scale_floor=sfloor)
+            Xf = jax.vmap(lambda v: fd.from_blocks(v, F, squeeze=False)
+                          )(res.eigenvectors)
+            return res._replace(eigenvectors=Xf)
 
         return solve
 

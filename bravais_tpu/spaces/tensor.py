@@ -195,6 +195,34 @@ def scatter_add_axis(r, axis, n, p, phase=None):
     return main.reshape(*shape[:axis], n * p, *shape[axis + 2:])
 
 
+def gather_axis_np(u, axis, n, p, phase=None):
+    """NumPy twin of :func:`gather_axis` (host f64 paths)."""
+    shape = u.shape
+    u = u.reshape(*shape[:axis], n, p, *shape[axis + 1:])
+    first = _np.take(u, [0], axis=axis + 1)
+    rolled = _np.roll(first, -1, axis=axis)
+    if phase is not None:
+        sel = [slice(None)] * rolled.ndim
+        sel[axis] = slice(n - 1, n)
+        rolled = rolled.copy()
+        rolled[tuple(sel)] = rolled[tuple(sel)] * phase
+    return _np.concatenate([u, rolled], axis=axis + 1)
+
+
+def scatter_add_axis_np(r, axis, n, p, phase=None):
+    """NumPy twin of :func:`scatter_add_axis`."""
+    main = _np.take(r, range(p), axis=axis + 1).copy()
+    last = _np.roll(_np.take(r, [p], axis=axis + 1), 1, axis=axis)
+    if phase is not None:
+        sel = [slice(None)] * last.ndim
+        sel[axis] = slice(0, 1)
+        last[tuple(sel)] = last[tuple(sel)] * _np.conj(phase)
+    idx = (slice(None),) * (axis + 1) + (0,)
+    main[idx] += _np.squeeze(last, axis=axis + 1)
+    shape = main.shape
+    return main.reshape(*shape[:axis], n * p, *shape[axis + 2:])
+
+
 def gather_qp(u, shape, p, closed, phases):
     """Quasi-periodic multi-axis gather: like :func:`gather` but closed
     axes wrap with their Bloch phase. ``phases``: length-d list (entries

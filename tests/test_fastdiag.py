@@ -1,0 +1,199 @@
+"""Fast block-diagonalization (operators/fastdiag.py).
+
+Oracle strategy (SURVEY.md §4.2): the factorized matvec must reproduce
+the matrix-free applies to roundoff at arbitrary k; the block solver
+must invert exactly (f64); the resulting deflation projector must be
+idempotent and annihilate gradients; and the (A+sM)⁻¹ preconditioner
+must cut LOBPCG iterations hard vs Jacobi (the VERDICT round-1 item-2
+acceptance test, scaled down).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bravais_tpu.lattices import make_lattice
+from bravais_tpu.meshing.grid import PeriodicGrid
+from bravais_tpu.operators.curlcurl import BlochCurlCurl
+from bravais_tpu.spaces.nedelec import NedelecSpace
+
+K_TEST = np.array([0.37, -0.21, 0.55])
+
+
+def _op(lat="FCC", n=3, p=2, dtype=jnp.complex128, **kw):
+    sp = NedelecSpace.make(PeriodicGrid.make(make_lattice(lat), n), p)
+    return BlochCurlCurl(sp, dtype=dtype, **kw)
+
+
+def _rand_field(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(shape)
+            + 1j * rng.standard_normal(shape))
+
+
+@pytest.mark.parametrize("lat,n,p", [("FCC", 3, 2), ("CUB", 4, 1),
+                                     ("HEX", 3, 3)])
+def test_blocks_reproduce_A_and_M(lat, n, p):
+    op = _op(lat, n, p)
+    fd = op.fastdiag()
+    u = _rand_field(op.space.field_shape)
+    k = jnp.asarray(K_TEST)
+    for name, ref in [("A", op.apply_A), ("M", op.apply_M)]:
+        got = np.asarray(fd.matvec([(name, 1.0)], k)(jnp.asarray(u)))
+        want = np.asarray(ref(jnp.asarray(u), k))
+        assert np.allclose(got, want, rtol=1e-9, atol=1e-9 *
+                           np.abs(want).max()), name
+
+
+def test_block_solver_exact():
+    op = _op("FCC", 3, 2)
+    fd = op.fastdiag()
+    k = jnp.asarray(K_TEST)
+    s = op.default_fd_shift()
+    b = jnp.asarray(_rand_field(op.space.field_shape, 1))
+    x = fd.solver([("A", 1.0), ("M", s)], k)(b)
+    r = op.apply_A(x, k) + s * op.apply_M(x, k) - b
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert rel < 1e-10
+
+
+def test_deflation_projector_exact():
+    op = _op("FCC", 3, 2)
+    k = jnp.asarray(K_TEST)
+    # P(G phi) = G phi (projector is identity on gradients) ...
+    phi = jnp.asarray(_rand_field(op.h1.dof_shape, 2))
+    g = op.apply_Gk(phi, k)
+    Pg = op.gradient_component_fd(g, k)
+    assert float(jnp.linalg.norm(Pg - g) / jnp.linalg.norm(g)) < 1e-10
+    # ... and idempotent on arbitrary fields.
+    u = jnp.asarray(_rand_field(op.space.field_shape, 3))
+    Pu = op.gradient_component_fd(u, k)
+    PPu = op.gradient_component_fd(Pu, k)
+    assert float(jnp.linalg.norm(PPu - Pu) / jnp.linalg.norm(Pu)) < 1e-9
+    # The deflated remainder is divergence-free: GkH M (u - Pu) = 0.
+    w = op.apply_GkH(op.apply_M(u - Pu, k), k)
+    ref = op.apply_GkH(op.apply_M(u, k), k)
+    assert float(jnp.linalg.norm(w) / jnp.linalg.norm(ref)) < 1e-9
+
+
+def test_varying_eps_falls_back_to_mean_twin():
+    def eps(x):
+        return 1.0 + 0.5 * np.cos(2 * np.pi * x[..., 0])
+
+    op = _op("CUB", 4, 1, eps=eps)
+    assert not op._coef_elem_invariant()
+    fd = op.fastdiag()
+    k = jnp.asarray(K_TEST)
+    # Not exact for A(eps-varying), but a valid SPD solve of the MEAN
+    # operator: check it solves its own matvec.
+    b = jnp.asarray(_rand_field(op.space.field_shape, 4))
+    x = fd.solver([("A", 1.0), ("M", 1.0)], k)(b)
+    r = fd.matvec([("A", 1.0), ("M", 1.0)], k)(x) - b
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-10
+
+
+def test_project_mode_matches_shift_mode():
+    """The per-iteration projection path (production) agrees with the
+    σ-shift path and the analytic oracle."""
+    from tests.oracles.analytic import maxwell_bands
+
+    op = _op("FCC", 3, 2)
+    lat = op.space.grid.lattice
+    k = jnp.asarray(np.asarray(lat.k_cart((0.5, 0.25, 0.75))))
+    nev, m = 6, 10
+    rng = np.random.default_rng(1)
+    X0 = jnp.asarray(rng.standard_normal((m,) + op.space.field_shape)
+                     + 1j * rng.standard_normal((m,) + op.space.field_shape))
+    sp_ = op.make_solve_fn(deflation="project", precond="fastdiag")
+    sh_ = op.make_solve_fn(deflation="fastdiag", precond="fastdiag")
+    rp = sp_(op, X0, k, nev, 1e-8, 120, None)
+    rs = sh_(op, X0, k, nev, 1e-8, 120, None)
+    assert bool(jnp.all(rp.converged))
+    assert np.allclose(np.asarray(rp.eigenvalues),
+                       np.asarray(rs.eigenvalues), rtol=1e-7, atol=1e-9)
+    ex = maxwell_bands(lat, np.asarray(k), nev)
+    assert np.max(np.abs(np.asarray(rp.eigenvalues) - ex)
+                  / np.abs(ex)) < 0.05
+
+
+def test_spectral_engine_matches_field_engine():
+    """engine='spectral' (all-block-space LOBPCG) reproduces the field
+    engine's eigenvalues and returns back-transformed eigenvectors."""
+    op = _op("FCC", 3, 2)
+    lat = op.space.grid.lattice
+    k = jnp.asarray(np.asarray(lat.k_cart((0.25, 0.0, 0.25))))
+    nev, m = 6, 10
+    rng = np.random.default_rng(2)
+    X0 = jnp.asarray(rng.standard_normal((m,) + op.space.field_shape)
+                     + 1j * rng.standard_normal((m,) + op.space.field_shape))
+    r_sp = op.make_solve_fn(engine="spectral")(op, X0, k, nev,
+                                               1e-8, 120, None)
+    r_fd = op.make_solve_fn(deflation="project", precond="fastdiag")(
+        op, X0, k, nev, 1e-8, 120, None)
+    assert bool(jnp.all(r_sp.converged))
+    assert np.allclose(np.asarray(r_sp.eigenvalues),
+                       np.asarray(r_fd.eigenvalues), rtol=1e-7, atol=1e-9)
+    # Back-transformed eigenvectors live in field space and satisfy the
+    # eigen-equation there.
+    x = r_sp.eigenvectors[0]
+    lam = float(r_sp.eigenvalues[0])
+    r = op.apply_A(x, k) - lam * op.apply_M(x, k)
+    nrm = float(jnp.linalg.norm(op.apply_M(x, k)))
+    assert float(jnp.linalg.norm(r)) / (abs(lam) * nrm + 1e-30) < 1e-6
+
+
+def test_host_gradient_cleanup():
+    """gradient_component_np (refine-stage leakage cleanup) matches the
+    device projector and is exact on gradients."""
+    op = _op("FCC", 3, 2)
+    k = np.asarray(K_TEST)
+    rng = np.random.default_rng(3)
+    phi = rng.standard_normal(op.h1.dof_shape) \
+        + 1j * rng.standard_normal(op.h1.dof_shape)
+    g = op.apply_Gk_np(phi, k)
+    # numpy twins match the jax applies
+    gj = np.asarray(op.apply_Gk(jnp.asarray(phi), jnp.asarray(k)))
+    assert np.allclose(g, gj, rtol=1e-10, atol=1e-10 * np.abs(gj).max())
+    got = op.gradient_component_np(g, k)
+    assert np.linalg.norm(got - g) / np.linalg.norm(g) < 1e-9
+    u = rng.standard_normal((2,) + op.space.field_shape) \
+        + 1j * rng.standard_normal((2,) + op.space.field_shape)
+    Pu = op.gradient_component_np(u, k)
+    w = np.stack([op.apply_GkH_np(op.apply_M_np(ui - pi, k), k)
+                  for ui, pi in zip(u, Pu)])
+    ref = np.stack([op.apply_GkH_np(op.apply_M_np(ui, k), k) for ui in u])
+    assert np.linalg.norm(w) / np.linalg.norm(ref) < 1e-9
+
+
+def test_fd_eigensolve_beats_jacobi():
+    """FCC Maxwell, empty lattice: the fastdiag-preconditioned deflated
+    LOBPCG must converge in FAR fewer iterations than Jacobi and match
+    the analytic oracle (App. B.3)."""
+    from tests.oracles.analytic import maxwell_bands
+
+    op = _op("FCC", 3, 2)
+    lat = op.space.grid.lattice
+    k = np.asarray(lat.k_cart((0.5, 0.25, 0.75)))  # W point
+    nev, m = 6, 10
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(rng.standard_normal((m,) + op.space.field_shape)
+                     + 1j * rng.standard_normal((m,) + op.space.field_shape))
+
+    solve_fd = op.make_solve_fn(deflation="fastdiag", precond="fastdiag")
+    r_fd = solve_fd(op, X0, jnp.asarray(k), nev, 1e-8, 120, None)
+    assert bool(jnp.all(r_fd.converged))
+
+    exact = maxwell_bands(lat, k, nev)
+    disc_err = np.max(np.abs(np.asarray(r_fd.eigenvalues) - exact)
+                      / np.abs(exact))
+    assert disc_err < 0.05  # n=3 p=2 discretization level
+
+    from bravais_tpu.eigen.precond import jacobi
+    solve_j = op.make_solve_fn(deflation="fastdiag")
+    r_j = solve_j(op, X0, jnp.asarray(k), nev, 1e-8, 120,
+                  jacobi(op.diag_A()))
+    # eigenvalues agree (same operator), iterations collapse
+    assert np.allclose(np.asarray(r_fd.eigenvalues),
+                       np.asarray(r_j.eigenvalues), rtol=1e-6, atol=1e-8)
+    assert int(r_fd.iterations) <= int(r_j.iterations) // 2, (
+        int(r_fd.iterations), int(r_j.iterations))
