@@ -125,6 +125,31 @@ def main():
         ex = exact_bands(kc[i], args.nev)
         errs.append(np.max(np.abs(res.eigenvalues[i] - ex))
                     / max(ex.max(), 1.0))
+
+    # Secondary metrics (SURVEY.md §6): HBM footprint + achieved FLOP/s
+    # of the compiled per-k solve program.
+    mem = {}
+    try:
+        mem = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        pass
+    flops_per_solve = None
+    achieved_tflops = None
+    try:
+        if args.mode == "warm" and sweep._jit_single is not None:
+            rdtype = np.dtype(op.rdtype)
+            X0 = jnp.asarray(sweep._x0_np(
+                getattr(sp, "field_shape", sp.dof_shape), rdtype))
+            ca = (sweep._jit_single.lower(X0, jnp.asarray(kc[0]))
+                  .compile().cost_analysis())
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops_per_solve = float(ca.get("flops", 0.0)) or None
+        if flops_per_solve and res.wall_s > 0:
+            achieved_tflops = (flops_per_solve * n_steady
+                               / res.wall_s / 1e12)
+    except Exception:
+        pass
     out = {
         "metric": metric,
         "value": round(solves_per_sec, 4),
@@ -141,6 +166,11 @@ def main():
             "mean_lobpcg_iters": float(np.mean(res.iterations)),
             "max_rel_eig_err_vs_analytic": float(np.max(errs)),
             "max_residual": float(np.max(res.residuals)),
+            "engine": args.engine if args.problem == "maxwell" else "n/a",
+            "hbm_peak_bytes": mem.get("peak_bytes_in_use"),
+            "flops_per_eigensolve": flops_per_solve,
+            "achieved_tflops": (round(achieved_tflops, 4)
+                                if achieved_tflops else None),
         },
     }
     print(json.dumps(out))

@@ -16,7 +16,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["BandWriter", "load_bands", "plot_bands", "write_csv"]
+__all__ = ["BandWriter", "load_bands", "plot_bands", "write_csv",
+           "save_modes", "write_vtk"]
 
 
 def _config_hash(config: Dict) -> str:
@@ -73,6 +74,72 @@ class BandWriter:
     @property
     def finished(self) -> List[int]:
         return list(self.manifest["finished"])
+
+
+def save_modes(run_dir, k_index: int, k_cart, eigenvalues,
+               X_reim) -> str:
+    """Eigenvector (mode) dump for one k-point — the rebuild of the
+    reference's GLVis/VisIt field output (SURVEY.md §2.2 #17).
+
+    Writes ``modes_k####.npz`` with the real-stacked eigenvector block
+    (2, nev, *dof_shape), the k-point, and the eigenvalues. Complex
+    fields are reassembled as ``X[0] + 1j*X[1]`` on load."""
+    d = pathlib.Path(run_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"modes_k{int(k_index):04d}.npz"
+    np.savez_compressed(path, k_index=int(k_index),
+                        k_cart=np.asarray(k_cart),
+                        eigenvalues=np.asarray(eigenvalues),
+                        X_reim=np.asarray(X_reim))
+    return str(path)
+
+
+def write_vtk(path, grid, fields: Dict[str, np.ndarray]) -> str:
+    """Minimal legacy-VTK STRUCTURED_GRID dump of nodal fields on the
+    periodic grid (visualization parity with the reference's VisIt
+    output, SURVEY.md §2.2 #17). ``fields``: name -> real array of
+    shape ``dof_shape`` (scalar) or ``(dim, *dof_shape)`` (vector);
+    complex fields should be passed as |field| or Re/Im separately."""
+    first = next(iter(fields.values()))
+    shp = first.shape[-grid.dim:]
+    d = grid.dim
+    # nodal fractional coordinates (uniform per-dof spacing)
+    axes = [np.arange(nn) / nn for nn in shp]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    frac = np.stack([m.ravel(order="F") for m in mesh], axis=-1)
+    if d == 2:
+        frac3 = np.concatenate([frac, np.zeros((len(frac), 1))], axis=1)
+        A3 = np.eye(3)
+        A3[:2, :2] = grid.lattice.A
+    else:
+        frac3 = frac
+        A3 = grid.lattice.A
+    xyz = frac3 @ A3
+    npts = xyz.shape[0]
+    # VTK expects DIMENSIONS nx ny nz with x fastest; ravel(order='F')
+    # makes our axis 0 fastest, so declare shp in axis order.
+    lines = ["# vtk DataFile Version 3.0", "bravais_tpu modes", "ASCII",
+             "DATASET STRUCTURED_GRID",
+             "DIMENSIONS " + " ".join(
+                 str(s) for s in list(shp) + [1] * (3 - d))]
+    lines.append(f"POINTS {npts} double")
+    lines.extend(" ".join(f"{v:.9g}" for v in row) for row in xyz)
+    lines.append(f"POINT_DATA {npts}")
+    for name, arr in fields.items():
+        arr = np.asarray(arr)
+        if arr.ndim == d:          # scalar
+            lines.append(f"SCALARS {name} double 1")
+            lines.append("LOOKUP_TABLE default")
+            lines.extend(f"{v:.9g}" for v in arr.ravel(order="F"))
+        else:                       # vector (dim, *shape)
+            lines.append(f"VECTORS {name} double")
+            comp = [arr[i].ravel(order="F") for i in range(arr.shape[0])]
+            while len(comp) < 3:
+                comp.append(np.zeros_like(comp[0]))
+            lines.extend(" ".join(f"{c[i]:.9g}" for c in comp)
+                         for i in range(npts))
+    pathlib.Path(path).write_text("\n".join(lines) + "\n")
+    return str(path)
 
 
 def write_csv(path, kpath, eigenvalues) -> None:

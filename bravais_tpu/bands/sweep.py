@@ -50,6 +50,8 @@ class SweepResult:
     residuals: np.ndarray
     wall_s: float
     compile_s: float = 0.0
+    #: (nk, 2, nev, *dof_shape) real-stacked modes (keep_vectors=True)
+    eigenvectors: Optional[np.ndarray] = None
 
 
 class BandSweep:
@@ -68,7 +70,9 @@ class BandSweep:
                  tol: float = 1e-6, maxiter: int = 200,
                  precond="jacobi", seed: int = 0,
                  solve_fn: Optional[Callable] = None,
-                 refine: Optional[bool] = None):
+                 refine: Optional[bool] = None,
+                 keep_vectors: bool = False):
+        self.keep_vectors = keep_vectors
         self.op = operator
         self.nev = nev
         self.m = block if block is not None else nev + max(4, nev // 2)
@@ -140,7 +144,7 @@ class BandSweep:
         chunk = max(chunk, ndev)
         chunk = ((chunk + ndev - 1) // ndev) * ndev  # ndev-aligned
 
-        nout = 4 if self.refine else 3
+        nout = 4 if (self.refine or self.keep_vectors) else 3
         if self._jit_batched is None:
             batched = jax.vmap(
                 lambda X0, k: self._solve(X0, k)[:nout], in_axes=(None, 0))
@@ -157,6 +161,7 @@ class BandSweep:
         lam_all = np.zeros((0, self.nev), rdtype)
         its_all = np.zeros((0,), np.int32)
         res_all = np.zeros((0, self.nev), rdtype)
+        vecs = [] if self.keep_vectors else None
         wall = compile_s = 0.0
         first = True
         for s in range(0, nk, chunk):
@@ -179,12 +184,15 @@ class BandSweep:
             else:
                 wall += dt
             nkeep = len(k_cart[s:s + chunk])
-            if self.refine:
+            if self.refine or self.keep_vectors:
                 X_reims = np.asarray(out[3])  # (nk_pad, 2, m, *dof)
+            if self.refine:
                 for j in range(nkeep):
                     lam[j, :self.nev], res[j, :self.nev] = \
                         host_rayleigh_ritz(self.op, X_reims[j],
                                            ks[j], self.nev)
+            if vecs is not None:
+                vecs.append(X_reims[:nkeep, :, :self.nev])
             lam_all = np.concatenate([lam_all, lam[:nkeep]])
             its_all = np.concatenate([its_all,
                                       np.asarray(its)[:nkeep].astype(np.int32)])
@@ -195,7 +203,9 @@ class BandSweep:
                 writer.write_chunk(gidx, lam[:nkeep, :self.nev],
                                    its[:nkeep], res[:nkeep, :self.nev])
         return SweepResult(lam_all, its_all, res_all, wall_s=wall,
-                           compile_s=compile_s)
+                           compile_s=compile_s,
+                           eigenvectors=(np.concatenate(vecs)
+                                         if vecs else None))
 
     # -- latency / warm-start mode ------------------------------------------
 
@@ -214,31 +224,51 @@ class BandSweep:
         X0 = jnp.asarray(self._x0_np(
             getattr(sp, "field_shape", sp.dof_shape), rdtype))
         lams, itss, ress = [], [], []
-        wall = compile_s = 0.0
-        for i, k in enumerate(k_cart):
-            t0 = time.time()
-            lam, its, res, X_reim = self._jit_single(X0, jnp.asarray(k))
-            lam = np.asarray(lam)
-            res = np.asarray(res)
-            if self.refine:
-                lam, res = host_rayleigh_ritz(self.op, np.asarray(X_reim),
-                                              k, self.nev)
-            dt = time.time() - t0
+        vecs = [] if self.keep_vectors else None
+        nk = len(k_cart)
+        t_start = time.time()
+        out = self._jit_single(X0, jnp.asarray(k_cart[0]))
+        compile_s = 0.0
+        for i in range(nk):
+            # Pipeline: queue this k's device→host copies FIRST (the
+            # axon stream executes in order — queuing them after the
+            # next dispatch would block the host behind k+1's compute),
+            # then dispatch the NEXT solve; the f64 refine below then
+            # overlaps with the device computing k+1 (warm-started from
+            # the still-on-device eigenvector block — axon real rule).
+            if i + 1 < nk:
+                for o in out:
+                    try:
+                        o.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        break
+                out_next = self._jit_single(out[3],
+                                            jnp.asarray(k_cart[i + 1]))
+            lam = np.asarray(out[0])   # blocks until solve i is done
+            its = int(out[1])
+            res = np.asarray(out[2])
             if i == 0:
-                compile_s = dt
-            else:
-                wall += dt
+                compile_s = time.time() - t_start
+            if self.refine:
+                lam, res = host_rayleigh_ritz(self.op, np.asarray(out[3]),
+                                              k_cart[i], self.nev)
             lams.append(lam)
-            itss.append(int(its))
+            itss.append(its)
             ress.append(res)
+            if vecs is not None:
+                vecs.append(np.asarray(out[3])[:, :self.nev])
             if writer is not None:
                 gi = int(k_index[i]) if k_index is not None else i
                 writer.write_chunk([gi], lam[None, :self.nev],
-                                   [int(its)], res[None, :self.nev])
-            X0 = X_reim  # stays on device; real-stacked (axon rule)
+                                   [its], res[None, :self.nev])
+            if i + 1 < nk:
+                out = out_next
+        wall = time.time() - t_start - compile_s
         return SweepResult(np.asarray(lams), np.asarray(itss, np.int32),
                            np.asarray(ress), wall_s=wall,
-                           compile_s=compile_s)
+                           compile_s=compile_s,
+                           eigenvectors=(np.asarray(vecs)
+                                         if vecs is not None else None))
 
     # -- combined regime: warm within segments, sharded across them ---------
 

@@ -63,9 +63,47 @@ def build_problem(cfg):
     raise ValueError(f"unknown problem {cfg.problem!r}")
 
 
-def run(cfg, log=print):
+def make_solve_fn(cfg, op):
+    """Pick the Maxwell solver configuration (scalar ops: None)."""
+    mk = getattr(op, "make_solve_fn", None)
+    if mk is None or cfg.problem != "maxwell":
+        return None
     import numpy as np
-    from bravais_tpu.bands import BandSweep, BandWriter, plot_bands
+    fd_ok = min(op.space.grid.shape) >= 3
+    engine = cfg.engine
+    if engine == "auto":
+        if fd_ok and op._coef_elem_invariant():
+            engine = "spectral"
+        elif fd_ok:
+            engine = "field"
+        else:
+            engine = "gmg"
+    if engine == "spectral":
+        return mk(engine="spectral")
+    if engine == "field":
+        return mk(deflation="project", precond="fastdiag")
+    return mk(deflation_gmg=True)
+
+
+def run(cfg, log=print):
+    import os
+
+    import jax
+    import numpy as np
+
+    # Pin the backend BEFORE any device op. The JAX_PLATFORMS env var
+    # alone is not honored once the axon TPU plugin registers
+    # (CLAUDE.md), so apply it via config; and f64/complex128 exists
+    # only on the CPU backend, so --precision f64 implies CPU + x64.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if cfg.precision == "f64" and not plat:
+        plat = "cpu"
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    if cfg.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+    from bravais_tpu.bands import (BandSweep, BandWriter, plot_bands,
+                                   save_modes)
     from bravais_tpu.parallel.mesh import kpoint_mesh
 
     t0 = time.time()
@@ -73,10 +111,10 @@ def run(cfg, log=print):
     log(f"# {lat.variant}: {op.space.ndofs} dofs, {kp.nk} k-points, "
         f"nev={cfg.nev}, tol={cfg.tol:g}, {cfg.precision}")
 
-    solve_fn = getattr(op, "make_solve_fn", lambda: None)()
     sweep = BandSweep(op, nev=cfg.nev, block=cfg.block, tol=cfg.tol,
                       maxiter=cfg.maxiter, precond=cfg.precond,
-                      seed=cfg.seed, solve_fn=solve_fn)
+                      seed=cfg.seed, solve_fn=make_solve_fn(cfg, op),
+                      keep_vectors=cfg.save_modes)
 
     writer = None
     if cfg.out:
@@ -91,8 +129,16 @@ def run(cfg, log=print):
 
     mesh = kpoint_mesh() if cfg.shard else None
     kcart = kp.k_cart[todo]
-    res = (sweep.run_warm(kcart) if cfg.mode == "warm"
-           else sweep.run(kcart, mesh=mesh))
+    todo_np = np.asarray(todo)
+    # Every finished chunk/k-point is checkpointed IMMEDIATELY (writer
+    # threaded into the sweep loops — crash-safe resume, SURVEY.md §5).
+    if cfg.mode == "warm" and mesh is not None:
+        res = sweep.run_warm_sharded(kcart, mesh, writer=writer,
+                                     k_index=todo_np)
+    elif cfg.mode == "warm":
+        res = sweep.run_warm(kcart, writer=writer, k_index=todo_np)
+    else:
+        res = sweep.run(kcart, mesh=mesh, writer=writer, k_index=todo_np)
 
     for j, i in enumerate(todo):
         lamj = res.eigenvalues[j]
@@ -101,9 +147,12 @@ def run(cfg, log=print):
                         "iters": int(res.iterations[j]),
                         "max_rel_res": float(np.max(res.residuals[j])),
                         "eigenvalues": [float(v) for v in lamj]}))
+    if cfg.save_modes and cfg.out and res.eigenvectors is not None:
+        for j, i in enumerate(todo):
+            save_modes(cfg.out, i, kp.k_cart[i], res.eigenvalues[j],
+                       res.eigenvectors[j])
+        log(f"# modes saved for {len(todo)} k-points under {cfg.out}")
     if writer is not None:
-        writer.write_chunk(todo, res.eigenvalues, res.iterations,
-                           res.residuals)
         if cfg.plot:
             import pathlib
             dat = writer.eigenvalues

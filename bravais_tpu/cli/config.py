@@ -49,17 +49,21 @@ class RunConfig:
     # execution
     mode: str = "warm"               # "warm" | "batched"
     shard: bool = False              # shard k axis over all devices
+    #: Maxwell solver engine: "auto" | "spectral" | "field" | "gmg"
+    engine: str = "auto"
     seed: int = 0
     # output
     out: Optional[str] = None        # run directory (enables checkpointing)
     resume: bool = False
     plot: bool = False
+    save_modes: bool = False         # dump eigenvector blocks per k
 
     def to_dict(self) -> Dict:
         return dataclasses.asdict(self)
 
     #: fields that do not change the physics/results identity of a run
-    _EXECUTION_FIELDS = ("out", "resume", "plot", "mode", "shard")
+    _EXECUTION_FIELDS = ("out", "resume", "plot", "mode", "shard",
+                         "engine", "save_modes")
 
     def identity_dict(self) -> Dict:
         """The config subset that identifies a run's RESULTS — used for

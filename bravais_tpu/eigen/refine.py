@@ -44,8 +44,12 @@ def host_rayleigh_ritz(op, X_reim: np.ndarray, k: np.ndarray, nev: int
         X = X - op.gradient_component_np(X, k)
     Xf = X.reshape(m, -1)
 
-    AX = np.stack([op.apply_A_np(x, k).ravel() for x in X])
-    MX = np.stack([op.apply_M_np(x, k).ravel() for x in X])
+    if getattr(op, "supports_batched_np", False):
+        AX = np.asarray(op.apply_A_np(X, k)).reshape(m, -1)
+        MX = np.asarray(op.apply_M_np(X, k)).reshape(m, -1)
+    else:
+        AX = np.stack([op.apply_A_np(x, k).ravel() for x in X])
+        MX = np.stack([op.apply_M_np(x, k).ravel() for x in X])
     GA = Xf.conj() @ AX.T
     GM = Xf.conj() @ MX.T
     GA = 0.5 * (GA + GA.conj().T)

@@ -52,6 +52,9 @@ class BlochCurlCurl:
     (∇+ik)×μ⁻¹(∇+ik)× u = ω² ε u, realized quasi-periodically on
     ``space`` (NedelecSpace). Fields: (3, N1, N2, N3) complex."""
 
+    #: host twins accept a leading block axis (refine-stage batching)
+    supports_batched_np = True
+
     def __init__(self, space: NedelecSpace, eps: CoefLike = 1.0,
                  mu_inv: CoefLike = 1.0, dtype=jnp.complex64):
         self.space = space
@@ -283,10 +286,24 @@ class BlochCurlCurl:
         return np.exp(1j * (self.A_rows @ np.asarray(k, np.float64)))
 
     def _apply_np(self, u, k, which):
-        """f64 host apply via a phase-twisted numpy path."""
+        """f64 host apply via a phase-twisted numpy path.
+
+        Accepts a single field (3, N₁, N₂, N₃) or a BLOCK
+        (m, 3, N₁, N₂, N₃): the block axis is moved last, where every
+        axis-positional helper below ignores it (trailing broadcast) —
+        one pass through the tensordot pipeline for all m vectors
+        instead of m passes (the refine-stage host cost fix)."""
+        u = np.asarray(u, np.complex128)
+        if u.ndim == 5:  # block (m, 3, N₁, N₂, N₃) → batch axis last
+            out = self._apply_np_core(np.moveaxis(u, 0, -1), k, which,
+                                      batched=True)
+            return np.moveaxis(out, -1, 0)
+        return self._apply_np_core(u, k, which, batched=False)
+
+    def _apply_np_core(self, u, k, which, batched):
         sp = self.space
         ph = self._np_phases(k)
-        u = np.asarray(u, np.complex128)
+        bc = (Ellipsis, None) if batched else Ellipsis
         Bc, Dc = sp.closed.B, sp.closed.D
         Bo, Do = sp.open.B, sp.open.D
 
@@ -346,7 +363,7 @@ class BlochCurlCurl:
         if which == "M":
             uhat = np.stack([tensor.contract_np(ue[c], vtab(c))
                              for c in range(3)])
-            g = (self._eps_q64 * wq) * np.einsum(
+            g = (self._eps_q64 * wq)[bc] * np.einsum(
                 "rs,s...->r...", sp.grid.Ginv, uhat)
             y = [tensor.contract_t_np(g[c], vtab(c)) for c in range(3)]
             return np.stack([scat(y[c], c) for c in range(3)])
@@ -356,7 +373,7 @@ class BlochCurlCurl:
                         - tensor.contract_np(ue[s], dtab(s, t)))
         chat = np.stack(chat)
         cph = np.einsum("rs,s...->r...", sp.grid.J, chat) / self.detJs
-        f = (self._mu_inv_q64 * wq) * cph
+        f = (self._mu_inv_q64 * wq)[bc] * cph
         cf = np.einsum("sr,s...->r...", sp.grid.J, f) / self.detJs
         y = [0.0, 0.0, 0.0]
         for r, s, t in _CYC:
@@ -365,10 +382,18 @@ class BlochCurlCurl:
         return np.stack([scat(y[c], c) for c in range(3)])
 
     def apply_Gk_np(self, phi, k):
-        """f64 host twin of :meth:`apply_Gk`."""
+        """f64 host twin of :meth:`apply_Gk`. Accepts (N₁,N₂,N₃) or a
+        block (m, N₁,N₂,N₃) — the batch axis rides trailing through the
+        positional helpers (one tensordot pipeline for all m)."""
+        phi = np.asarray(phi, np.complex128)
+        if phi.ndim == 4:
+            out = self._apply_Gk_np_core(np.moveaxis(phi, 0, -1), k)
+            return np.moveaxis(out, -1, 0)  # (3, N..., m) → (m, 3, N...)
+        return self._apply_Gk_np_core(phi, k)
+
+    def _apply_Gk_np_core(self, phi, k):
         sp = self.space
         ph = self._np_phases(k)
-        phi = np.asarray(phi, np.complex128)
         out = []
         for c in range(3):
             g = tensor.gather_axis_np(phi, c, sp.grid.shape[c], sp.p,
@@ -381,10 +406,17 @@ class BlochCurlCurl:
         return np.stack(out)
 
     def apply_GkH_np(self, u, k):
-        """f64 host twin of :meth:`apply_GkH`."""
+        """f64 host twin of :meth:`apply_GkH`. Accepts (3, N₁,N₂,N₃) or
+        a block (m, 3, N₁,N₂,N₃)."""
+        u = np.asarray(u, np.complex128)
+        if u.ndim == 5:
+            out = self._apply_GkH_np_core(np.moveaxis(u, 0, -1), k)
+            return np.moveaxis(out, -1, 0)
+        return self._apply_GkH_np_core(u, k)
+
+    def _apply_GkH_np_core(self, u, k):
         sp = self.space
         ph = self._np_phases(k)
-        u = np.asarray(u, np.complex128)
         acc = 0.0
         for c in range(3):
             shape = u[c].shape
@@ -403,12 +435,16 @@ class BlochCurlCurl:
         ``u`` may have a leading block axis (m, 3, N₁, N₂, N₃)."""
         k = np.asarray(k, np.float64)
         u = np.asarray(u, np.complex128)
-        if u.ndim == 5:  # block of fields: reuse one factorization
-            lsolve = self.fastdiag_L().solver_np([("L", 1.0)], k)
+        lsolve = self.fastdiag_L().solver_np([("L", 1.0)], k)
+        if self._coef_elem_invariant():
+            # exact direct solve; fully batched applies (blocks ride a
+            # trailing axis through the tensordot pipelines)
+            rhs = self.apply_GkH_np(self.apply_M_np(u, k), k)
+            return self.apply_Gk_np(lsolve(rhs), k)
+        if u.ndim == 5:  # varying ε: per-row preconditioned CG
             return np.stack([self._grad_comp_np_one(x, k, lsolve,
                                                     cg_iters)
                              for x in u])
-        lsolve = self.fastdiag_L().solver_np([("L", 1.0)], k)
         return self._grad_comp_np_one(u, k, lsolve, cg_iters)
 
     def _grad_comp_np_one(self, u, k, lsolve, cg_iters):

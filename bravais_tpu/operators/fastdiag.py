@@ -310,8 +310,13 @@ class FastDiag:
         good = lam > rcond * lam.max(axis=-1, keepdims=True)
         linv = np.where(good, 1.0 / np.where(good, lam, 1.0), 0.0)
 
+        base_ndim = self.d + (1 if self.ncomp > 1 else 0)
+
         def solve(u):
-            x = np.asarray(u, np.complex128).reshape(
+            u = np.asarray(u, np.complex128)
+            if u.ndim == base_ndim + 1:  # leading block axis
+                return np.stack([solve(x) for x in u])
+            x = u.reshape(
                 (self.ncomp,) + tuple(y for n in self.shape
                                       for y in (n, p)))
             for i in range(d):

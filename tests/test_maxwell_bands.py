@@ -4,6 +4,7 @@ FCC empty-lattice band path Γ–X–W–L."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bravais_tpu.bands import BandSweep
 from bravais_tpu.lattices import kpath, make_lattice
@@ -14,6 +15,7 @@ from bravais_tpu.spaces.nedelec import NedelecSpace
 from tests.oracles.analytic import maxwell_bands
 
 
+@pytest.mark.slow
 def test_fcc_empty_lattice_headline_path():
     """FCC Maxwell bands on (a short sampling of) Γ–X–W–L vs the
     analytic oracle — the headline configuration's correctness gate."""
@@ -40,6 +42,7 @@ def test_fcc_empty_lattice_headline_path():
         assert err < 6e-2, (i, res.eigenvalues[i], ex)
 
 
+@pytest.mark.slow
 def test_sc_dielectric_sphere_gap_structure():
     """Config 3: simple-cubic + dielectric sphere (ε=13, r=0.25a).
     Sanity physics: spectrum real, positive, bands ordered, and the
