@@ -520,136 +520,14 @@ class BlochCurlCurl:
                                                 sp.p, ph[c])
         return acc
 
-    def apply_Pi(self, w: jax.Array, k: jax.Array) -> jax.Array:
-        """Nodal interpolation Π: (H1_qp)³ -> ND_qp. Component c of the
-        output interpolates the scalar w[c] onto the open nodes of dim c
-        (the Hiptmair–Xu auxiliary-space map — SURVEY.md §3.4)."""
-        sp = self.space
-        w = w.astype(self.dtype)
-        ph = self.phases(k)
-        In = jnp.asarray(sp.Inode.astype(np.dtype(self.rdtype)))
-        out = []
-        for c in range(3):
-            g = tensor.gather_axis(w[c], c, sp.grid.shape[c], sp.p, ph[c])
-            v = jnp.moveaxis(
-                jnp.tensordot(In, g, axes=((1,), (c + 1,))), 0, c + 1)
-            shape = v.shape
-            out.append(v.reshape(*shape[:c], sp.grid.shape[c] * sp.p,
-                                 *shape[c + 2:]))
-        return jnp.stack(out)
-
-    def apply_PiT(self, u: jax.Array, k: jax.Array) -> jax.Array:
-        """Adjoint of :meth:`apply_Pi`: ND -> (H1_qp)³."""
-        sp = self.space
-        u = u.astype(self.dtype)
-        ph = self.phases(k)
-        In = jnp.asarray(sp.Inode.astype(np.dtype(self.rdtype)))
-        out = []
-        for c in range(3):
-            shape = u[c].shape
-            r = u[c].reshape(*shape[:c], sp.grid.shape[c], sp.p,
-                             *shape[c + 1:])
-            v = jnp.moveaxis(
-                jnp.tensordot(In, r, axes=((0,), (c + 1,))), 0, c + 1)
-            out.append(tensor.scatter_add_axis(v, c, sp.grid.shape[c],
-                                               sp.p, ph[c]))
-        return jnp.stack(out)
-
-    def qp_gmg_mu(self, **kw):
-        """QP-GMG on the μ⁻¹-Laplacian (vector-nodal auxiliary solve)."""
-        if not hasattr(self, "_qpgmg_mu"):
-            from bravais_tpu.eigen.gmg import QPGMG
-            self._qpgmg_mu = QPGMG(self.h1, alpha=self._mu_inv_fn,
-                                   dtype=self.dtype, **kw)
-        return self._qpgmg_mu
-
-    def ams_precond(self, k, sigma: float | None = None,
-                    vec_cycles: int = 1, grad_cycles: int = 1):
-        """Auxiliary-space (Hiptmair–Xu / hypre-AMS analog, SURVEY.md
-        §2.2 #12, §3.4) preconditioner for the gradient-shifted operator
-        Ã = A + σ M P:
-
-            B r = D⁻¹ r  +  (1/σ)·G L⁻¹ Gᴴ r  +  Π B_vec Πᵀ r
-
-        smoothing + exact-subspace gradient correction (Ã acts as σ·L on
-        im(G)) + vector-nodal Laplacian correction through Π, each
-        auxiliary solve a QP-GMG cycle. Single-field callable; the
-        eigensolver vmaps it over the block.
-
-        STATUS: measured SLOWER than Jacobi for the eigensolve (the
-        unshifted vector-Laplacian correction over-amplifies the lowest
-        physical modes; hypre applies AMS to the SHIFTED SPD system).
-        Kept as a building block — the shifted-auxiliary variant is the
-        planned follow-up; Jacobi remains the default preconditioner."""
-        sig = jnp.asarray(sigma if sigma is not None else self.sigma_shift,
-                          self.rdtype)
-        gmg_g = self.qp_gmg()
-        gmg_v = self.qp_gmg_mu()
-        dA = np.maximum(self._diag_A, 1e-12 * float(np.mean(self._diag_A)))
-
-        def pc(R):
-            z1 = R / jnp.asarray(dA)
-            zg = gmg_g.solve(k, self.apply_GkH(R, k), grad_cycles)
-            z2 = self.apply_Gk(zg, k) / sig
-            rv = self.apply_PiT(R, k)
-            zv = jax.vmap(lambda b: gmg_v.solve(k, b, vec_cycles))(rv)
-            z3 = self.apply_Pi(zv, k)
-            return z1 + z2 + z3
-
-        return pc
-
-    def qp_gmg_vec(self, shift: float, **kw):
-        """QP-GMG on the SHIFTED vector-nodal auxiliary operator
-        (μ⁻¹ Laplacian + shift·ε mass) — the Hiptmair–Xu auxiliary solve
-        for A + shift·M. Cached per shift value."""
-        key = ("_qpgmg_vec", round(float(shift), 6))
-        if not hasattr(self, "_qpgmg_vec_cache"):
-            self._qpgmg_vec_cache = {}
-        if key not in self._qpgmg_vec_cache:
-            from bravais_tpu.eigen.gmg import QPGMG
-            self._qpgmg_vec_cache[key] = QPGMG(
-                self.h1, alpha=self._mu_inv_fn, beta=self._eps_fn,
-                shift=float(shift), dtype=self.dtype, **kw)
-        return self._qpgmg_vec_cache[key]
-
-    def default_ams_shift(self) -> float:
-        """Band-scale spectral shift for the AMS preconditioner: a
-        quarter of the largest reciprocal-vector norm² ≈ the scale of
-        the first few bands."""
-        B = self.space.grid.lattice.B
-        return float(0.25 * np.max(np.sum(B * B, axis=1)))
-
-    def ams_shifted_precond(self, k, shift: float | None = None,
-                            sigma: float | None = None,
-                            vec_cycles: int = 1, grad_cycles: int = 1):
-        """SHIFTED auxiliary-space (Hiptmair–Xu / hypre-AMS analog,
-        SURVEY.md §2.2 #12, §3.4) preconditioner: approximates
-        (Ã + s·M)⁻¹ for the gradient-shifted operator Ã = A + σ M P and
-        a band-scale spectral shift s:
-
-            B r = D̃⁻¹ r + Π B_vec Πᵀ r + G L⁻¹ Gᴴ r / (σ + s)
-
-        with B_vec a QP-GMG cycle on (μ⁻¹Δ + s·ε) — the shift caps the
-        low-mode amplification that made the UNSHIFTED composition
-        counterproductive for eigensolves (see ams_precond). Single-field
-        callable; the eigensolver vmaps it over the block."""
-        s_ = float(shift if shift is not None else self.default_ams_shift())
-        sig = float(sigma if sigma is not None else self.sigma_shift)
-        gmg_g = self.qp_gmg()
-        gmg_v = self.qp_gmg_vec(s_)
-        dA = np.maximum(self._diag_A + s_ * self._diag_M,
-                        1e-12 * float(np.mean(self._diag_A)))
-
-        def pc(R):
-            z1 = R / jnp.asarray(dA)
-            zg = gmg_g.solve(k, self.apply_GkH(R, k), grad_cycles)
-            z2 = self.apply_Gk(zg, k) / (sig + s_)
-            rv = self.apply_PiT(R, k)
-            zv = jax.vmap(lambda b: gmg_v.solve(k, b, vec_cycles))(rv)
-            z3 = self.apply_Pi(zv, k)
-            return z1 + z2 + z3
-
-        return pc
+    # Auxiliary-space (Hiptmair-Xu / hypre-AMS) preconditioning was
+    # prototyped here in round 1 (nodal interpolation Pi + scalar/vector
+    # QP-GMG auxiliary solves) and measured SLOWER than Jacobi for the
+    # eigensolve in both unshifted and band-scale-shifted forms; the
+    # twisted-DFT fast block-diagonalization below replaced it as the
+    # production hypre-AMS equivalent (SURVEY.md 2.2 #12) and is both
+    # exact and cheaper. The losing variants were removed (git history:
+    # 'AMS building blocks').
 
     # ------------------------------------------------------------------
     # Fast block-diagonalization (twisted DFT) — operators/fastdiag.py
