@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--nev", type=int, default=10)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--mode", choices=["warm", "batched"], default="warm")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="batched mode: k-points per launch (bounds "
+                    "program size; 0 = all nk in one launch)")
     ap.add_argument("--engine", choices=["spectral", "field"],
                     default="spectral",
                     help="Maxwell solve engine: 'spectral' = all-block-"
@@ -58,9 +61,9 @@ def main():
     if args.problem == "maxwell":
         from bravais_tpu.operators.curlcurl import BlochCurlCurl
         from bravais_tpu.spaces.nedelec import NedelecSpace
-        n = args.n or 6
-        p = args.p or 3   # p=3: 2.9e-5 eig err (p=2 is throughput-
-        # leaning but sits at a 3.5e-3 discretization floor)
+        n = args.n or 8
+        p = args.p or 4   # n=8 p=4: 2.8e-8 eig err — true 1e-6-target
+        # compliance (n=6 p=3 floors at 2.9e-5; n=12 p=3 at 4.4e-7)
         lat = make_lattice("FCC")
         kp = kpath(lat, npts=args.nk, path=[["G", "X", "W", "L"]])
         sp = NedelecSpace.make(PeriodicGrid.make(lat, n), p)
@@ -107,9 +110,13 @@ def main():
                 kc[i] = 2e-2 * lat.B[0]
 
     t_all = time.time()
-    res = sweep.run_warm(kc) if args.mode == "warm" else sweep.run(kc)
+    res = (sweep.run_warm(kc) if args.mode == "warm"
+           else sweep.run(kc, chunk=args.chunk or None))
     total = time.time() - t_all
-    n_steady = max(kp.nk - 1, 1)
+    # Steady-state k-points: wall_s excludes the first launch (compile);
+    # warm mode launches per k, batched mode per chunk.
+    first = 1 if args.mode == "warm" else (args.chunk or kp.nk)
+    n_steady = max(kp.nk - first, 1)
     solves_per_sec = n_steady / max(res.wall_s, 1e-9)
 
     # Accuracy vs the analytic empty-lattice oracle (App. B.3).
@@ -135,16 +142,25 @@ def main():
         pass
     flops_per_solve = None
     achieved_tflops = None
+    hbm_program_bytes = None
     try:
         if args.mode == "warm" and sweep._jit_single is not None:
             rdtype = np.dtype(op.rdtype)
             X0 = jnp.asarray(sweep._x0_np(
                 getattr(sp, "field_shape", sp.dof_shape), rdtype))
-            ca = (sweep._jit_single.lower(X0, jnp.asarray(kc[0]))
-                  .compile().cost_analysis())
+            compiled = (sweep._jit_single
+                        .lower(X0, jnp.asarray(kc[0])).compile())
+            ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0] if ca else {}
             flops_per_solve = float(ca.get("flops", 0.0)) or None
+            try:
+                ma = compiled.memory_analysis()
+                hbm_program_bytes = int(
+                    ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                    + ma.output_size_in_bytes)
+            except Exception:
+                pass
         if flops_per_solve and res.wall_s > 0:
             achieved_tflops = (flops_per_solve * n_steady
                                / res.wall_s / 1e12)
@@ -168,6 +184,7 @@ def main():
             "max_residual": float(np.max(res.residuals)),
             "engine": args.engine if args.problem == "maxwell" else "n/a",
             "hbm_peak_bytes": mem.get("peak_bytes_in_use"),
+            "hbm_program_bytes": hbm_program_bytes,
             "flops_per_eigensolve": flops_per_solve,
             "achieved_tflops": (round(achieved_tflops, 4)
                                 if achieved_tflops else None),

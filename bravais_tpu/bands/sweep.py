@@ -101,11 +101,21 @@ class BandSweep:
             return self.precond(k)
         return None
 
+    @property
+    def _has_support(self) -> bool:
+        """Solve hook returns a per-row block-support array (spectral
+        engine) enabling the fast exact f64 refine (spectral_refine_np)."""
+        return bool(getattr(self._solve_fn, "provides_support", False))
+
     def _solve(self, X0_reim, k):
         X0 = from_reim(X0_reim)
         if self._solve_fn is not None:
             r = self._solve_fn(self.op, X0, k, self.nev, self.tol,
                                self.maxiter, self._make_precond(k))
+            if self._has_support:
+                r, support = r
+                return (r.eigenvalues, r.iterations, r.residual_norms,
+                        to_reim(r.eigenvectors), support)
         else:
             # Fused (A, M) pairs (Pallas kernel) when the operator and
             # backend support it.
@@ -117,6 +127,26 @@ class BandSweep:
                        precond=self._make_precond(k), AM=AM)
         return (r.eigenvalues, r.iterations, r.residual_norms,
                 to_reim(r.eigenvectors))
+
+    def _refine_host(self, out, k):
+        """f64 refine of one k-point's device outputs (``_solve`` tuple).
+
+        Spectral engine: exact small-block eigensolve on the support-
+        identified frequencies (``spectral_refine_np``, milliseconds);
+        cross-checked against the device eigenvalues — a gross mismatch
+        means the candidate blocks missed a band, and the all-dof host
+        Rayleigh–Ritz is used as fallback. Other engines: host RR."""
+        rf = getattr(self._solve_fn, "refine_np", None)
+        if rf is not None and len(out) > 4:
+            lam, res = rf(np.asarray(out[4]), k, self.nev)
+            lam_d = np.asarray(out[0])[:self.nev]
+            sc = np.maximum(np.abs(lam_d),
+                            3e-2 * max(float(np.abs(lam_d).max()), 1e-30))
+            if lam.size == lam_d.size and np.all(
+                    np.abs(lam - lam_d) / sc < 3e-2):
+                return lam, res
+        return host_rayleigh_ritz(self.op, np.asarray(out[3]), k,
+                                  self.nev)
 
     def _x0_np(self, dof_shape, rdtype) -> np.ndarray:
         rng = np.random.default_rng(self.seed)
@@ -144,7 +174,8 @@ class BandSweep:
         chunk = max(chunk, ndev)
         chunk = ((chunk + ndev - 1) // ndev) * ndev  # ndev-aligned
 
-        nout = 4 if (self.refine or self.keep_vectors) else 3
+        nout = 3 if not (self.refine or self.keep_vectors) else (
+            5 if self._has_support else 4)
         if self._jit_batched is None:
             batched = jax.vmap(
                 lambda X0, k: self._solve(X0, k)[:nout], in_axes=(None, 0))
@@ -187,10 +218,12 @@ class BandSweep:
             if self.refine or self.keep_vectors:
                 X_reims = np.asarray(out[3])  # (nk_pad, 2, m, *dof)
             if self.refine:
+                sup = np.asarray(out[4]) if len(out) > 4 else None
                 for j in range(nkeep):
+                    outj = (lam[j], None, None, X_reims[j]) + (
+                        (sup[j],) if sup is not None else ())
                     lam[j, :self.nev], res[j, :self.nev] = \
-                        host_rayleigh_ritz(self.op, X_reims[j],
-                                           ks[j], self.nev)
+                        self._refine_host(outj, ks[j])
             if vecs is not None:
                 vecs.append(X_reims[:nkeep, :, :self.nev])
             lam_all = np.concatenate([lam_all, lam[:nkeep]])
@@ -236,8 +269,15 @@ class BandSweep:
             # then dispatch the NEXT solve; the f64 refine below then
             # overlaps with the device computing k+1 (warm-started from
             # the still-on-device eigenvector block — axon real rule).
+            # With the spectral refine, the full eigenvector block never
+            # leaves the device (only the tiny (m, B) support does) —
+            # unless modes were requested.
+            need_X = self.keep_vectors or not (
+                self.refine and self._has_support)
             if i + 1 < nk:
-                for o in out:
+                for j, o in enumerate(out):
+                    if j == 3 and not need_X:
+                        continue
                     try:
                         o.copy_to_host_async()
                     except (AttributeError, RuntimeError):
@@ -250,8 +290,7 @@ class BandSweep:
             if i == 0:
                 compile_s = time.time() - t_start
             if self.refine:
-                lam, res = host_rayleigh_ritz(self.op, np.asarray(out[3]),
-                                              k_cart[i], self.nev)
+                lam, res = self._refine_host(out, k_cart[i])
             lams.append(lam)
             itss.append(its)
             ress.append(res)
@@ -307,19 +346,21 @@ class BandSweep:
         wall = compile_s = 0.0
         for t in range(per):
             t0 = time.time()
-            lam, its, res, X_reim = self._jit_seg(
-                X0, jnp.asarray(kseg[:, t]))
-            lam = np.array(lam)
-            res = np.array(res)
+            outs = self._jit_seg(X0, jnp.asarray(kseg[:, t]))
+            its, X_reim = outs[1], outs[3]
+            sup = outs[4] if len(outs) > 4 else None
+            lam = np.array(outs[0])
+            res = np.array(outs[2])
             if self.refine:
                 for s_ in range(ndev):
                     gi = s_ * per + t
                     if gi >= nk:
                         continue
+                    outj = (lam[s_], None, None, X_reim[s_]) + (
+                        (np.asarray(sup[s_]),) if sup is not None
+                        else ())
                     lam[s_, :self.nev], res[s_, :self.nev] = \
-                        host_rayleigh_ritz(self.op,
-                                           np.asarray(X_reim[s_]),
-                                           kseg[s_, t], self.nev)
+                        self._refine_host(outj, kseg[s_, t])
             dt = time.time() - t0
             if t == 0:
                 compile_s = dt

@@ -92,7 +92,8 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
            maxiter: int = 200, tol: float = 1e-6,
            precond: Optional[Callable] = None,
            AM: Optional[Callable] = None,
-           scale_floor: float = 3e-2) -> LobpcgResult:
+           scale_floor: float = 3e-2,
+           kernel_project: Optional[Callable] = None) -> LobpcgResult:
     """LOBPCG on the Hermitian pencil (A, M) — see module docstring.
 
     ``X0``: (m, *dof_shape) complex initial block, m >= nev. ``M=None``
@@ -121,6 +122,16 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     AMf = (_flatten_op2(AM, dof_shape) if AM is not None
            else (lambda X: (Af(X), Mf(X))))
     Pf = _flatten_op(precond, dof_shape) if precond is not None else None
+    # Exact-nullspace deflation hook: ``kernel_project(x)`` returns the
+    # KERNEL COMPONENT of x (e.g. the (∇+ik)∇φ component for curl-curl).
+    # It is subtracted from the updated X and P every iteration — f32
+    # roundoff constantly reseeds the kernel, where A ≈ 0 makes it LOOK
+    # like a converged lowest band (observed: a 7.6e-4 ghost eigenvalue
+    # at the FCC W point that captured a Ritz position for 150
+    # iterations). A annihilates the removed component, so AX needs no
+    # correction (O(eps) error); MX gets the cheap exact update.
+    Kf = (_flatten_op(kernel_project, dof_shape)
+          if kernel_project is not None else None)
 
     X = X0.reshape(m, -1).astype(cdtype)
 
@@ -202,6 +213,10 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         # Implicit new P: W/P components of the update (X-block zeroed).
         Yp = Ym.at[:m, :].set(0)
         Pn, APn, MPn = Yp.T @ S, Yp.T @ AS, Yp.T @ MS
+        if Kf is not None:
+            Kx, Kp_ = Kf(Xn), Kf(Pn)
+            Xn, MXn = Xn - Kx, MXn - Mf(Kx)
+            Pn, MPn = Pn - Kp_, MPn - Mf(Kp_)
 
         done = jnp.all(conv[:nev])
         return _Carry(X=Xn, AX=AXn, MX=MXn, P=Pn, AP=APn, MP=MPn,

@@ -286,6 +286,27 @@ class FastDiag:
 
     # -- host (NumPy, f64) twin — used by the refine stage -----------------
 
+    def blocks_np(self, terms: Sequence[Tuple[str, float]],
+                  k: np.ndarray, idx=None) -> np.ndarray:
+        """f64 host twin of :meth:`blocks`, optionally restricted to the
+        flat block indices ``idx`` — the spectral-refine path builds the
+        exact small blocks of only the frequencies that carry the
+        converged bands (milliseconds instead of an all-dof host
+        Rayleigh–Ritz). Rectangular stencils ("G") are supported."""
+        k = np.asarray(k, np.float64)
+        theta = [(self.A_rows[i] @ k + 2.0 * np.pi * np.arange(n)) / n
+                 for i, n in enumerate(self.shape)]
+        w = None
+        for i in range(self.d):
+            wi = np.exp(1j * theta[i])[None, :] ** \
+                self.offsets[:, i].astype(np.float64)[:, None]
+            w = wi if w is None else np.einsum("s...,sn->s...n", w, wi)
+        w = w.reshape(w.shape[0], -1)
+        if idx is not None:
+            w = w[:, np.asarray(idx, np.int64)]
+        S = sum(float(c) * self.stencils[nm] for nm, c in terms)
+        return np.einsum("sb,sij->bij", w, S)
+
     def solver_np(self, terms: Sequence[Tuple[str, float]],
                   k: np.ndarray, rcond: float = 1e-12) -> Callable:
         """f64 spectral block solver on the host (pseudo-inverse with

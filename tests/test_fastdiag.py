@@ -126,8 +126,9 @@ def test_spectral_engine_matches_field_engine():
     rng = np.random.default_rng(2)
     X0 = jnp.asarray(rng.standard_normal((m,) + op.space.field_shape)
                      + 1j * rng.standard_normal((m,) + op.space.field_shape))
-    r_sp = op.make_solve_fn(engine="spectral")(op, X0, k, nev,
-                                               1e-8, 120, None)
+    r_sp, support = op.make_solve_fn(engine="spectral")(op, X0, k, nev,
+                                                        1e-8, 120, None)
+    assert support.shape == (m, int(np.prod(op.space.grid.shape)))
     r_fd = op.make_solve_fn(deflation="project", precond="fastdiag")(
         op, X0, k, nev, 1e-8, 120, None)
     assert bool(jnp.all(r_sp.converged))
@@ -197,3 +198,59 @@ def test_fd_eigensolve_beats_jacobi():
                        np.asarray(r_j.eigenvalues), rtol=1e-6, atol=1e-8)
     assert int(r_fd.iterations) <= int(r_j.iterations) // 2, (
         int(r_fd.iterations), int(r_j.iterations))
+
+
+def test_spectral_refine_matches_oracle():
+    """spectral_refine_np (the O(blocks·D³) f64 refine) returns the
+    EXACT discrete eigenvalues: on the empty FCC lattice they must match
+    the analytic |k+G|² oracle to the discretization floor, and beat the
+    all-dof host Rayleigh-Ritz certificate in cost while agreeing with
+    it to f64 accuracy."""
+    from bravais_tpu.eigen.refine import host_rayleigh_ritz
+    from bravais_tpu.utils.reim import to_reim
+
+    op = _op("FCC", 3, 2)
+    lat = op.space.grid.lattice
+    k = jnp.asarray(np.asarray(lat.k_cart((0.25, 0.0, 0.25))))
+    nev, m = 6, 10
+    rng = np.random.default_rng(5)
+    X0 = jnp.asarray(rng.standard_normal((m,) + op.space.field_shape)
+                     + 1j * rng.standard_normal((m,) + op.space.field_shape))
+    r, support = op.make_solve_fn(engine="spectral")(op, X0, k, nev,
+                                                     1e-9, 150, None)
+    lam_sp, res_sp = op.spectral_refine_np(np.asarray(support),
+                                           np.asarray(k), nev)
+    # exact f64 block eigenpairs: certificate residuals ~ machine
+    assert np.max(res_sp) < 1e-10
+    lam_rr, _ = host_rayleigh_ritz(op, np.asarray(to_reim(r.eigenvectors)),
+                                   np.asarray(k), nev)
+    np.testing.assert_allclose(lam_sp, lam_rr, rtol=1e-9, atol=1e-11)
+    # device eigenvalues already f64 here; refine must agree
+    np.testing.assert_allclose(lam_sp, np.asarray(r.eigenvalues)[:nev],
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_spectral_refine_through_sweep_f32():
+    """End-to-end: a complex64 warm sweep with the spectral engine uses
+    spectral_refine_np (support path, no full-block d2h) and recovers
+    f64-accurate eigenvalues below the f32 device floor."""
+    from bravais_tpu.bands import BandSweep
+    from tests.oracles.analytic import maxwell_bands
+
+    op = _op("FCC", 3, 2, dtype=jnp.complex64)
+    lat = op.space.grid.lattice
+    ks = np.asarray([lat.k_cart((0.25, 0.0, 0.25)),
+                     lat.k_cart((0.5, 0.25, 0.75))])
+    solve_fn = op.make_solve_fn(engine="spectral")
+    sweep = BandSweep(op, nev=4, block=8, tol=1e-6, maxiter=150,
+                      solve_fn=solve_fn)
+    assert sweep.refine and sweep._has_support
+    res = sweep.run_warm(ks)
+    # residual certificate from the f64 block eigensolve, not the f32 device
+    assert np.max(res.residuals) < 1e-10
+    # n=3 p=2 discretization floor is ~1e-2; band 1 equals the analytic
+    # value to f64 (constant-envelope exactness); check floor-level parity
+    for i, k in enumerate(ks):
+        ex = maxwell_bands(lat, k, 4, mmax=3)
+        err = np.abs(res.eigenvalues[i] - ex) / np.maximum(ex, 1e-3)
+        assert np.max(err) < 5e-2, (i, res.eigenvalues[i], ex)
