@@ -20,8 +20,12 @@ Writes a markdown table to stdout (and docs/CONFIG5.md with --write).
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 
