@@ -93,8 +93,11 @@ def main():
         kp = kpath(lat, npts=args.nk)
         sp = H1Space.make(PeriodicGrid.make(lat, n), p)
         op = BlochHelmholtz(sp, dtype=jnp.complex64)
+        solve_fn = (op.make_solve_fn(engine="spectral")
+                    if args.engine == "spectral" else None)
         sweep = BandSweep(op, nev=args.nev, tol=args.tol,
-                          maxiter=args.maxiter or 400)
+                          maxiter=args.maxiter or 400,
+                          solve_fn=solve_fn)
         metric = (f"k-point eigensolves/sec (2D square scalar Helmholtz, "
                   f"{args.nev} bands, eig tol {args.tol:g}, n={n} p={p})")
         mmax, mult = 5, 1
@@ -182,7 +185,7 @@ def main():
             "mean_lobpcg_iters": float(np.mean(res.iterations)),
             "max_rel_eig_err_vs_analytic": float(np.max(errs)),
             "max_residual": float(np.max(res.residuals)),
-            "engine": args.engine if args.problem == "maxwell" else "n/a",
+            "engine": args.engine,
             "hbm_peak_bytes": mem.get("peak_bytes_in_use"),
             "hbm_program_bytes": hbm_program_bytes,
             "flops_per_eigensolve": flops_per_solve,

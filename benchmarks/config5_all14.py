@@ -45,7 +45,8 @@ KFRAC = np.array([
     [0.15, 0.25, 0.45], [0.37, 0.35, 0.13]])
 
 
-def run_one(name, n, p, nev, tol, maxiter, mesh=None):
+def run_one(name, n, p, nev, tol, maxiter, mesh=None,
+            engine="spectral"):
     import jax.numpy as jnp
     from bravais_tpu.bands import BandSweep
     from bravais_tpu.lattices import make_lattice
@@ -58,8 +59,13 @@ def run_one(name, n, p, nev, tol, maxiter, mesh=None):
     sp = H1Space.make(PeriodicGrid.make(lat, n), p)
     op = BlochHelmholtz(sp, dtype=jnp.complex64)
     k_cart = np.asarray([lat.k_cart(f) for f in KFRAC], np.float64)
+    # "spectral" = the production engine the CLI auto-selects for
+    # element-invariant coefficients (exact twisted-DFT blocks);
+    # "field" = the generic Jacobi-preconditioned matrix-free path.
+    solve_fn = (op.make_solve_fn(engine="spectral")
+                if engine == "spectral" else None)
     sweep = BandSweep(op, nev=nev, block=nev + 4, tol=tol,
-                      maxiter=maxiter)
+                      maxiter=maxiter, solve_fn=solve_fn)
     t0 = time.time()
     res = sweep.run(k_cart, mesh=mesh)   # ONE vmapped launch
     wall = time.time() - t0
@@ -82,6 +88,8 @@ def main():
     ap.add_argument("--nev", type=int, default=6)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--maxiter", type=int, default=300)
+    ap.add_argument("--engine", choices=["spectral", "field"],
+                    default="spectral")
     ap.add_argument("--shard", action="store_true",
                     help="shard the k axis over all visible devices")
     ap.add_argument("--write", action="store_true",
@@ -99,7 +107,7 @@ def main():
     rows = []
     for name in LATTICE_NAMES:
         r = run_one(name, args.n, args.p, args.nev, args.tol,
-                    args.maxiter, mesh)
+                    args.maxiter, mesh, engine=args.engine)
         rows.append(r)
         print(f"# {r['lattice']:12s} dofs={r['dofs']:6d} "
               f"err={r['max_rel_err']:.2e} iters={r['mean_iters']:5.1f} "

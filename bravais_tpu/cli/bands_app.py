@@ -64,12 +64,19 @@ def build_problem(cfg):
 
 
 def make_solve_fn(cfg, op):
-    """Pick the Maxwell solver configuration (scalar ops: None)."""
+    """Pick the solver configuration per problem family and engine."""
     mk = getattr(op, "make_solve_fn", None)
-    if mk is None or cfg.problem != "maxwell":
+    if mk is None:
         return None
     import numpy as np
     fd_ok = min(op.space.grid.shape) >= 3
+    if cfg.problem != "maxwell":
+        # scalar: spectral engine when exact (element-invariant
+        # coefficients), else the default Jacobi/GMG matrix-free path
+        if (cfg.engine in ("auto", "spectral") and fd_ok
+                and op._coef_elem_invariant()):
+            return mk(engine="spectral")
+        return None
     engine = cfg.engine
     if engine == "auto":
         if fd_ok and op._coef_elem_invariant():

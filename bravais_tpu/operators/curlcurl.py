@@ -240,6 +240,67 @@ class BlochCurlCurl:
             "rs,s...->r...", jnp.asarray(self.Ginv), uhat)
         return self._scatter_stacked(vmt(g, stk["val"]), ph)
 
+    def supports_fused_am(self) -> bool:
+        """Fused Pallas (A, M) on the TPU backend in f32 (Mosaic kernel;
+        CPU tests use interpret mode). BRAVAIS_DISABLE_PALLAS=1 disables."""
+        import os
+        import jax as _j
+        return (self.dtype == jnp.complex64
+                and not os.environ.get("BRAVAIS_DISABLE_PALLAS")
+                and _j.default_backend() not in ("cpu",))
+
+    def apply_AM_pallas(self, u: jax.Array, k: jax.Array,
+                        interpret: bool = False):
+        """(A(k) u, M u) in ONE fused Pallas kernel over element blocks
+        (operators/pallas/nd_apply.py — the Nédélec half of the App. B.4
+        hot kernel, SURVEY.md §7.1 step 9). The quasi-periodic
+        gather/scatter (where ALL k-dependence lives) stays in XLA."""
+        from bravais_tpu.operators.pallas.nd_apply import \
+            nedelec_block_apply
+        sp = self.space
+        u = u.astype(self.dtype)
+        ph = self.phases(k)
+        ue = self._gather_stacked(u, ph)      # (3, n1,l, n2,l, n3,l)
+        ue_f = ue.transpose(0, 2, 4, 6, 1, 3, 5).reshape(
+            3 * (sp.p + 1) ** 3, -1)
+        if not hasattr(self, "_nd_pallas_const"):
+            qshape = tuple(x for n in sp.grid.shape for x in (n, sp.q))
+            perm = [1, 3, 5, 0, 2, 4]
+            wq64 = np.asarray(sp.quad_weight(), np.float64)
+
+            def plane(coef_q):
+                full = np.broadcast_to(np.asarray(coef_q, np.float64)
+                                       * wq64, qshape)
+                return np.ascontiguousarray(
+                    full.transpose(perm).reshape(
+                        sp.q ** 3, -1)).astype(np.float32)
+
+            def embed(T):
+                return np.pad(np.asarray(T, np.float64), ((0, 0), (0, 1)))
+
+            self._nd_pallas_const = dict(
+                muw=plane(self._mu_inv_q64), epsw=plane(self._eps_q64),
+                Bc=sp.closed.B, Dc=sp.closed.D,
+                Bo=embed(sp.open.B), Do=embed(sp.open.D))
+        c = self._nd_pallas_const
+        yr, yi, mr, mi = nedelec_block_apply(
+            jnp.real(ue_f).astype(jnp.float32),
+            jnp.imag(ue_f).astype(jnp.float32),
+            jnp.asarray(c["muw"]), jnp.asarray(c["epsw"]),
+            Bc=c["Bc"], Dc=c["Dc"], Bo=c["Bo"], Do=c["Do"],
+            J=self.J.tolist(), Ginv=self.Ginv.tolist(),
+            detJ=self.detJs, interpret=interpret)
+        nl = sp.p + 1
+        shp = (3,) + (nl,) * 3 + tuple(sp.grid.shape)
+
+        def unpack(re, im):
+            g = (re + 1j * im).astype(self.dtype).reshape(shp)
+            return g.transpose(0, 4, 1, 5, 2, 6, 3)
+
+        y = self._scatter_stacked(unpack(yr, yi), ph)
+        m = self._scatter_stacked(unpack(mr, mi), ph)
+        return y, m
+
     def apply_A_ref(self, u: jax.Array, k: jax.Array) -> jax.Array:
         """Reference (unstacked) einsum implementation of A(k) u — kept
         for cross-checking the stacked fast path."""
@@ -625,16 +686,7 @@ class BlochCurlCurl:
         import scipy.linalg
 
         fd = self.fastdiag_G()
-        sup = np.asarray(support, np.float64)
-        m = sup.shape[0]
-        cand = set()
-        for r in range(m):
-            order = np.argsort(sup[r])[::-1][:topk]
-            mx = sup[r][order[0]]
-            for b in order:
-                if sup[r][b] > tau * mx:
-                    cand.add(int(b))
-        idx = np.asarray(sorted(cand), np.int64)
+        idx = fd.candidate_blocks(support, topk, tau)
         k = np.asarray(k, np.float64)
         TA = fd.blocks_np([("A", 1.0)], k, idx)
         TM = fd.blocks_np([("M", 1.0)], k, idx)
@@ -855,10 +907,13 @@ class BlochCurlCurl:
                 pc_proj = ((lambda R: (lambda z: z - proj(z))(pc(R)))
                            if pc is not None else
                            (lambda R: R - proj(R)))
+                AM = ((lambda x: op.apply_AM_pallas(x, k))
+                      if op.supports_fused_am() else None)
                 return lobpcg(lambda x: op.apply_A(x, k),
                               lambda x: op.apply_M(x, k), X0p,
                               nev, maxiter=maxiter, tol=tol,
-                              precond=pc_proj, scale_floor=sfloor)
+                              precond=pc_proj, scale_floor=sfloor,
+                              AM=AM, kernel_project=proj)
 
             if sigma is not None:
                 sig_val = sigma

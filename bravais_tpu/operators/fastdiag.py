@@ -307,6 +307,54 @@ class FastDiag:
         S = sum(float(c) * self.stencils[nm] for nm, c in terms)
         return np.einsum("sb,sij->bij", w, S)
 
+    def candidate_blocks(self, support: np.ndarray, topk: int = 4,
+                         tau: float = 1e-5) -> np.ndarray:
+        """Flat block indices carrying the converged bands: per LOBPCG
+        row, the ``topk`` largest-|X̂|² blocks above ``tau``·row-max."""
+        sup = np.asarray(support, np.float64)
+        cand = set()
+        for r in range(sup.shape[0]):
+            order = np.argsort(sup[r])[::-1][:topk]
+            mx = sup[r][order[0]]
+            for b in order:
+                if sup[r][b] > tau * mx:
+                    cand.add(int(b))
+        return np.asarray(sorted(cand), np.int64)
+
+    def spectral_refine_np(self, support: np.ndarray, k: np.ndarray,
+                           nev: int, scale_floor_abs: float = 1e-3
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact f64 refine for pencils WITHOUT a nullspace to deflate
+        (scalar Helmholtz): generalized eigh of only the candidate
+        blocks ("A", "M" stencils). Returns (eigenvalues[:nev],
+        residual certificates[:nev]) — blocks are exact invariant
+        subspaces, so certificates are ~machine precision. The Maxwell
+        twin with gradient deflation is curlcurl.spectral_refine_np."""
+        import scipy.linalg
+
+        idx = self.candidate_blocks(support)
+        k = np.asarray(k, np.float64)
+        TA = self.blocks_np([("A", 1.0)], k, idx)
+        TM = self.blocks_np([("M", 1.0)], k, idx)
+        lams, ress = [], []
+        for A_, M_ in zip(TA, TM):
+            A_ = 0.5 * (A_ + A_.conj().T)
+            M_ = 0.5 * (M_ + M_.conj().T)
+            w, X = scipy.linalg.eigh(A_, M_)
+            MX = M_ @ X
+            R = A_ @ X - MX * w[None, :]
+            nrm = np.maximum(np.linalg.norm(MX, axis=0), 1e-30)
+            lams.append(w)
+            ress.append(np.linalg.norm(R, axis=0) / nrm)
+        allw = np.concatenate(lams)
+        allr = np.concatenate(ress)
+        order = np.argsort(allw)[:nev]
+        lam = allw[order]
+        scale = np.maximum(np.abs(lam),
+                           max(3e-2 * float(np.abs(allw).max()),
+                               scale_floor_abs))
+        return lam, allr[order] / scale
+
     def solver_np(self, terms: Sequence[Tuple[str, float]],
                   k: np.ndarray, rcond: float = 1e-12) -> Callable:
         """f64 spectral block solver on the host (pseudo-inverse with

@@ -68,6 +68,8 @@ class BlochHelmholtz:
         d = space.dim
 
         xq = space.qpoints_phys()                      # (n1,q,...,nd,q,d)
+        self._alpha_fn = alpha
+        self._beta_fn = beta
         self._alpha_q64 = eval_coefficient(alpha, xq)
         self._beta_q64 = eval_coefficient(beta, xq)
         self.alpha_q = self._alpha_q64.astype(rd)
@@ -151,6 +153,115 @@ class BlochHelmholtz:
         for i in range(d):
             perm.extend([i, d + i])
         return x.transpose(perm)
+
+    # -- spectral (twisted-DFT block) engine --------------------------------
+
+    def _coef_elem_invariant(self) -> bool:
+        """True when α and β repeat identically in every element
+        (includes constants) — the FastDiag factorization is then EXACT
+        for the quasi-periodic twin discretization."""
+        q = self.space.q
+        d = self.space.dim
+        shape = tuple(x for n in self.space.grid.shape for x in (n, q))
+        for a in (self._alpha_q64, self._beta_q64):
+            a6 = np.broadcast_to(a, shape)
+            ref = a6[(slice(0, 1), slice(None)) * d]
+            if not np.allclose(a6, ref, rtol=1e-12, atol=0.0):
+                return False
+        return True
+
+    def qp_fastdiag(self):
+        """FastDiag bundle ("A" = −∇·α∇ stiffness, "M" = β-mass) of the
+        QUASI-PERIODIC twin discretization (phases in the wrap instead
+        of pointwise ik — operators/qplaplace.py). Exact for element-
+        translation-invariant coefficients; mean-coefficient twin
+        otherwise. Host setup, cached."""
+        if not hasattr(self, "_qp_fd"):
+            from bravais_tpu.operators.fastdiag import FastDiag
+            from bravais_tpu.operators.qplaplace import QPLaplace
+            sp = self.space
+            if self._coef_elem_invariant():
+                al, be = self._alpha_fn, self._beta_fn
+            else:
+                al = float(np.mean(self._alpha_q64))
+                be = float(np.mean(self._beta_q64))
+            stiff = QPLaplace(sp, alpha=al, dtype=self.dtype)
+            mass = QPLaplace(sp, alpha=0.0, beta=be, shift=1.0,
+                             dtype=self.dtype)
+            fd = FastDiag(sp.grid.shape, sp.p, 1,
+                          sp.grid.lattice.A, self.dtype)
+            k0 = np.zeros(sp.dim)
+            fd.add_stencil("A", lambda u: stiff.apply_A_np(u, k0))
+            fd.add_stencil("M", lambda u: mass.apply_A_np(u, k0))
+            self._qp_fd = fd
+        return self._qp_fd
+
+    def qp_fd_shift(self) -> float:
+        """Band-scale shift for the (A+sM)⁻¹ block preconditioner."""
+        B = self.space.grid.lattice.B
+        return float(0.5 * np.max(np.sum(B * B, axis=1))
+                     * np.mean(self._beta_q64))
+
+    def make_solve_fn(self, engine: str = "spectral",
+                      fd_shift: float | None = None,
+                      scale_floor: float | None = None):
+        """Solve hook for BandSweep: LOBPCG entirely in the twisted-DFT
+        block basis (the scalar twin of curlcurl's spectral engine,
+        SURVEY.md §2.2 #12-13) — per-iteration ops are batched D×D
+        block matvecs (D = pᵈ), with the essentially exact (A+sM)⁻¹
+        block preconditioner and the exact O(candidates·D³) f64 host
+        refine (FastDiag.spectral_refine_np).
+
+        NOTE: solves the QUASI-PERIODIC discretization of the same
+        Bloch eigenproblem (phases in the periodic wrap instead of
+        pointwise ik terms). Both Galerkin spaces converge at the same
+        order to the same bands; discrete eigenvalues differ only at
+        discretization-error level — validated against the analytic
+        oracle in tests."""
+        from bravais_tpu.eigen.lobpcg import lobpcg
+
+        if engine != "spectral":
+            raise ValueError(f"unknown engine {engine!r}")
+        if min(self.space.grid.shape) < 3:
+            raise ValueError("spectral engine needs n_i >= 3 per axis")
+        if not self._coef_elem_invariant():
+            raise ValueError(
+                "engine='spectral' requires element-translation-"
+                "invariant coefficients; use the default (Jacobi/GMG-"
+                "preconditioned matrix-free) path")
+        self.qp_fastdiag()  # host stencil extraction, cached
+        sfloor = scale_floor if scale_floor is not None else (
+            0.3 if jnp.dtype(self.dtype) == jnp.complex64 else 3e-2)
+        s_default = fd_shift if fd_shift is not None else None
+
+        def solve(op, X0, k, nev, tol, maxiter, precond_in):
+            fd = op.qp_fastdiag()
+            theta = fd._theta(k)
+            F = fd._fwd_mats(theta)
+            TA = fd.blocks([("A", 1.0)], k)
+            TM = fd.blocks([("M", 1.0)], k)
+            s_ = float(s_default if s_default is not None
+                       else op.qp_fd_shift())
+            Tpc = jnp.linalg.inv(TA + s_ * TM)
+
+            def bmv(T, x):
+                return jnp.einsum("bij,bj->bi", T, x)
+
+            X0b = jax.vmap(lambda x: fd.to_blocks(x, F))(X0)
+            res = lobpcg(lambda x: bmv(TA, x), lambda x: bmv(TM, x),
+                         X0b, nev, maxiter=maxiter, tol=tol,
+                         precond=lambda R: bmv(Tpc, R),
+                         scale_floor=sfloor)
+            support = jnp.sum(jnp.abs(res.eigenvectors) ** 2, axis=-1)
+            Xf = jax.vmap(lambda v: fd.from_blocks(v, F)
+                          )(res.eigenvectors)
+            return res._replace(eigenvectors=Xf), support
+
+        solve.provides_support = True
+        solve.refine_np = (lambda support, k, nev:
+                           self.qp_fastdiag().spectral_refine_np(
+                               support, k, nev))
+        return solve
 
     def supports_fused_am(self) -> bool:
         """Fused Pallas (A, M) is used on the TPU backend in f32 (the

@@ -11,10 +11,12 @@ from benchmarks.config5_all14 import PARAMS, run_one
 
 
 @pytest.mark.parametrize("name", ["FCC", "TRI"])  # cubic + most oblique
-def test_config5_p4_matrix_free(name):
+@pytest.mark.parametrize("engine", ["field", "spectral"])
+def test_config5_p4_both_engines(name, engine):
     # n=4 p=4 discretization floor is ~7e-6 (measured); the TPU run at
     # the production n=6 sits well below 1e-6.
-    r = run_one(name, n=4, p=4, nev=4, tol=1e-8, maxiter=300)
+    r = run_one(name, n=4, p=4, nev=4, tol=1e-8, maxiter=300,
+                engine=engine)
     assert r["max_rel_err"] < 2e-5, r
 
 
@@ -24,7 +26,7 @@ def test_config5_p4_sharded_matches_oracle():
     from bravais_tpu.parallel.mesh import kpoint_mesh
     mesh = kpoint_mesh(jax.devices()[:8])
     r = run_one("RHL", n=4, p=4, nev=4, tol=1e-8, maxiter=300,
-                mesh=mesh)
+                mesh=mesh, engine="field")
     assert r["max_rel_err"] < 2e-5, r
 
 

@@ -254,3 +254,46 @@ def test_spectral_refine_through_sweep_f32():
         ex = maxwell_bands(lat, k, 4, mmax=3)
         err = np.abs(res.eigenvalues[i] - ex) / np.maximum(ex, 1e-3)
         assert np.max(err) < 5e-2, (i, res.eigenvalues[i], ex)
+
+
+def test_scalar_spectral_engine_vs_oracle():
+    """Scalar (H1) spectral engine: quasi-periodic block LOBPCG + exact
+    f64 block refine must hit the analytic |k+G|² oracle at the
+    discretization floor, with machine-level residual certificates."""
+    from bravais_tpu.bands import BandSweep
+    from bravais_tpu.operators.helmholtz import BlochHelmholtz
+    from bravais_tpu.spaces.h1 import H1Space
+    from tests.oracles.analytic import scalar_bands
+
+    for latname, n, p, floor in [("SQR", 6, 3, 1e-4), ("FCC", 4, 3, 5e-4)]:
+        lat = make_lattice(latname)
+        sp = H1Space.make(PeriodicGrid.make(lat, n), p)
+        op = BlochHelmholtz(sp, dtype=jnp.complex64)
+        sweep = BandSweep(op, nev=5, block=9, tol=1e-6, maxiter=200,
+                          solve_fn=op.make_solve_fn(engine="spectral"))
+        assert sweep._has_support
+        kf = [0.21, 0.13, 0.17][:sp.dim]
+        ks = np.asarray([lat.k_cart(kf)])
+        res = sweep.run_warm(ks)
+        assert np.max(res.residuals) < 1e-10          # f64 certificate
+        ex = scalar_bands(lat, ks[0], 5, mmax=5)
+        err = np.max(np.abs(res.eigenvalues[0] - ex) / max(ex.max(), 1.0))
+        assert err < floor, (latname, err)
+
+
+def test_scalar_spectral_varying_coef_rejected():
+    """Varying β: the spectral engine would solve the WRONG (mean-
+    coefficient) pencil, so it must refuse; the mean-twin FastDiag
+    itself still builds (it remains a valid preconditioner)."""
+    from bravais_tpu.operators.helmholtz import BlochHelmholtz
+    from bravais_tpu.spaces.h1 import H1Space
+
+    lat = make_lattice("SQR")
+    sp = H1Space.make(PeriodicGrid.make(lat, 4), 2)
+    op = BlochHelmholtz(sp, beta=lambda x: 1 + 0.5 * x[..., 0],
+                        dtype=jnp.complex64)
+    assert not op._coef_elem_invariant()
+    with pytest.raises(ValueError, match="element-translation"):
+        op.make_solve_fn(engine="spectral")
+    fd = op.qp_fastdiag()   # mean-coefficient twin builds fine
+    assert set(fd.stencils) == {"A", "M"}

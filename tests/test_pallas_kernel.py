@@ -53,3 +53,29 @@ def test_pallas_qplaplace_matches(monkeypatch):
     y_pal = op.apply_A(u, k, interpret=True, force_pallas=True)
     assert float(jnp.linalg.norm(y_pal - y_ref)
                  / jnp.linalg.norm(y_ref)) < 5e-7
+
+
+@pytest.mark.parametrize("lat,n,p", [("FCC", 3, 2), ("CUB", 3, 1),
+                                     ("HEX", 3, 3)])
+def test_pallas_nedelec_matches_stacked(lat, n, p):
+    """Fused Nédélec (A, M) kernel vs the stacked einsum path
+    (interpret mode; varying ε/μ to exercise the coefficient planes)."""
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lattice = make_lattice(lat)
+    sp = NedelecSpace.make(PeriodicGrid.make(lattice, n), p)
+    op = BlochCurlCurl(sp, eps=lambda x: 1 + 0.4 * x[..., 0] ** 2,
+                       mu_inv=lambda x: 1 + 0.2 * np.sum(x ** 2, axis=-1),
+                       dtype=jnp.complex64)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray((rng.standard_normal(sp.field_shape)
+                     + 1j * rng.standard_normal(sp.field_shape)
+                     ).astype(np.complex64))
+    k = jnp.asarray(lattice.k_cart([0.3, 0.2, 0.1]), jnp.float32)
+    y, m = op.apply_AM_pallas(u, k, interpret=True)
+    y_ref = op.apply_A(u, k)
+    m_ref = op.apply_M(u, k)
+    tol = 2e-5
+    assert float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref)) < tol
+    assert float(jnp.linalg.norm(m - m_ref) / jnp.linalg.norm(m_ref)) < tol
