@@ -834,7 +834,8 @@ class BlochCurlCurl:
                       precond: str | None = None,
                       fd_shift: float | None = None,
                       scale_floor: float | None = None,
-                      engine: str = "field") -> Callable:
+                      engine: str = "field",
+                      proj_method: str = "qr") -> Callable:
         """Solve hook for BandSweep: LOBPCG on the gradient-shifted
         operator Ã = A + σ·M P (P = gradient projector).
 
@@ -874,7 +875,8 @@ class BlochCurlCurl:
         sfloor = scale_floor if scale_floor is not None else (
             0.3 if jnp.dtype(self.dtype) == jnp.complex64 else 3e-2)
         if engine == "spectral":
-            return self._make_spectral_solve_fn(fd_shift, sfloor)
+            return self._make_spectral_solve_fn(fd_shift, sfloor,
+                                                proj_method)
         defl = deflation or ("gmg" if deflation_gmg else "cg")
         if defl == "gmg":
             self.qp_gmg()  # build hierarchy eagerly (host setup)
@@ -932,7 +934,8 @@ class BlochCurlCurl:
 
         return solve
 
-    def _make_spectral_solve_fn(self, fd_shift, sfloor) -> Callable:
+    def _make_spectral_solve_fn(self, fd_shift, sfloor,
+                                proj_method: str = "qr") -> Callable:
         """LOBPCG run ENTIRELY in the twisted-DFT block basis — the
         maximum-MXU path for element-translation-invariant coefficients
         (every empty-lattice config, incl. the headline benchmark).
@@ -964,19 +967,49 @@ class BlochCurlCurl:
             s_ = float(fd_shift if fd_shift is not None
                        else op.default_fd_shift())
             Tpc = jnp.linalg.inv(TA + s_ * TM)
-            Lb = TGH @ TM @ TG                        # (B, Dh1, Dh1)
-            w, V = jacobi_eigh(Lb)
-            good = w > 0.0
-            winv = jnp.where(good, 1.0 / jnp.where(good, w, 1.0), 0.0)
-            VH = jnp.conj(jnp.swapaxes(V, -1, -2))
 
             def bmv(T, x):
                 return jnp.einsum("bij,bj->bi", T, x)
 
-            def proj(x):
-                r = bmv(TGH, bmv(TM, x))
-                phi = bmv(V, winv.astype(x.dtype) * bmv(VH, r))
-                return bmv(TG, phi)
+            if proj_method == "qr":
+                # Cholesky-QR projector: W = chol(M̂)ᴴ Ĝ = QR gives
+                # L = ĜᴴM̂Ĝ = RᴴR, so L⁻¹ = R⁻¹R⁻ᴴ via two batched
+                # triangular solves. κ(R) = √κ(L) — numerically on par
+                # with the spectral pseudo-inverse, and ~6× cheaper on
+                # TPU than the batched Jacobi eigh of L (measured 66 ms
+                # vs 410 ms setup at n=8 p=4). Rank drop at θ→0 (the
+                # exact-Γ harmonic point) guarded by pushing tiny R
+                # diagonals to a huge value, which zeroes those
+                # directions in the solve — the pinv truncation.
+                import jax.scipy.linalg as jsl
+                C = jnp.linalg.cholesky(TM)
+                W = jnp.conj(jnp.swapaxes(C, -1, -2)) @ TG
+                _, Rq = jnp.linalg.qr(W)
+                dg = jnp.abs(jnp.diagonal(Rq, axis1=-2, axis2=-1))
+                big = jnp.max(dg) / jnp.asarray(
+                    jnp.finfo(self.rdtype).eps, self.rdtype)
+                tiny = dg < 1e-7 * jnp.max(dg, axis=-1, keepdims=True)
+                Rq = Rq + ((tiny * big).astype(Rq.dtype)[..., None]
+                           * jnp.eye(Rq.shape[-1], dtype=Rq.dtype))
+
+                def proj(x):
+                    r = bmv(TGH, bmv(TM, x))
+                    z = jsl.solve_triangular(Rq, r[..., None],
+                                             lower=False, trans='C')
+                    phi = jsl.solve_triangular(Rq, z, lower=False)
+                    return bmv(TG, phi[..., 0])
+            else:
+                Lb = TGH @ TM @ TG                    # (B, Dh1, Dh1)
+                w, V = jacobi_eigh(Lb)
+                good = w > 0.0
+                winv = jnp.where(good, 1.0 / jnp.where(good, w, 1.0),
+                                 0.0)
+                VH = jnp.conj(jnp.swapaxes(V, -1, -2))
+
+                def proj(x):
+                    r = bmv(TGH, bmv(TM, x))
+                    phi = bmv(V, winv.astype(x.dtype) * bmv(VH, r))
+                    return bmv(TG, phi)
 
             def pc(R):
                 z = bmv(Tpc, R)
