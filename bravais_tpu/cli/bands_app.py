@@ -88,7 +88,14 @@ def make_solve_fn(cfg, op):
     if engine == "spectral":
         return mk(engine="spectral")
     if engine == "field":
-        return mk(deflation="project", precond="fastdiag")
+        if op._coef_elem_invariant():
+            return mk(deflation="project", precond="fastdiag")
+        # Varying ε: σ-shift formulation with the fastdiag-
+        # preconditioned TRUE-operator CG projector (self-correcting
+        # under the shift) + inner-outer (A+sM)⁻¹ PCG preconditioning —
+        # the contrast-robust configuration (the exact-projection path
+        # needs an exact L).
+        return mk(deflation="cg", precond="fastdiag-cg")
     return mk(deflation_gmg=True)
 
 
@@ -135,7 +142,18 @@ def run(cfg, log=print):
         return writer
 
     mesh = kpoint_mesh() if cfg.shard else None
-    kcart = kp.k_cart[todo]
+    kcart = kp.k_cart[todo].copy()
+    if cfg.problem == "maxwell":
+        # Exact Γ is the measure-zero harmonic point of the quasi-
+        # periodic Maxwell formulation (operators/curlcurl.py): the
+        # gradient deflation is rank-deficient there and the solve
+        # returns spurious near-zero bands (which then poison the
+        # warm-start chain). Nudge it off-center like bench.py does —
+        # the ω²→0 bands at Γ are recovered to the same accuracy at
+        # the nudged point.
+        for j in range(kcart.shape[0]):
+            if np.linalg.norm(kcart[j]) < 1e-12:
+                kcart[j] = 2e-2 * lat.B[0]
     todo_np = np.asarray(todo)
     # Every finished chunk/k-point is checkpointed IMMEDIATELY (writer
     # threaded into the sweep loops — crash-safe resume, SURVEY.md §5).

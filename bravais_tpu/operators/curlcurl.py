@@ -752,6 +752,45 @@ class BlochCurlCurl:
         s_ = float(shift if shift is not None else self.default_fd_shift())
         return self.fastdiag().solver([("A", 1.0), ("M", s_)], k)
 
+    def fd_precond_cg(self, k, shift: float | None = None,
+                      inner_iters: int = 4):
+        """Contrast-robust outer preconditioner for varying ε:
+        R ↦ x ≈ (A + sM)⁻¹R by ``inner_iters`` fixed PCG steps on the
+        TRUE shifted operator, preconditioned by the mean-coefficient
+        fast-diagonal solve. The mean twin is spectrally equivalent
+        with contrast-bounded κ, so a handful of inner iterations
+        recovers most of the exact inverse's quality at any contrast
+        (the hypre-AMS-for-heterogeneous-ε replacement)."""
+        s_ = float(shift if shift is not None
+                   else self.default_fd_shift())
+        minv = self.fastdiag().solver([("A", 1.0), ("M", s_)], k)
+        sA = jnp.asarray(s_, self.rdtype)
+
+        def apply(x):
+            return self.apply_A(x, k) + sA * self.apply_M(x, k)
+
+        def pc(R):
+            x = jnp.zeros_like(R)
+            z = minv(R)
+
+            def body(i, st):
+                x, r, p, rz = st
+                Ap = apply(p)
+                denom = jnp.vdot(p, Ap)
+                alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom,
+                                  0.0)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                zn = minv(r)
+                rzn = jnp.vdot(r, zn)
+                beta = jnp.where(jnp.abs(rz) > 1e-30, rzn / rz, 0.0)
+                return x, r, zn + beta * p, rzn
+
+            return jax.lax.fori_loop(
+                0, inner_iters, body, (x, R, z, jnp.vdot(R, z)))[0]
+
+        return pc
+
     def gradient_component_fd(self, u: jax.Array, k: jax.Array) -> jax.Array:
         """P u via the DIRECT fast-diagonal L-solve (exact projector for
         element-invariant ε). Spectral (eigh) inverse: stable on the
@@ -880,9 +919,9 @@ class BlochCurlCurl:
         defl = deflation or ("gmg" if deflation_gmg else "cg")
         if defl == "gmg":
             self.qp_gmg()  # build hierarchy eagerly (host setup)
-        if defl in ("fastdiag", "project"):
+        if defl in ("fastdiag", "project", "cg"):
             self.fastdiag_L()  # host stencil extraction, cached
-        if precond == "fastdiag":
+        if precond in ("fastdiag", "fastdiag-cg"):
             self.fastdiag()
 
         def solve(op, X0, k, nev, tol, maxiter, precond_in):
@@ -896,12 +935,19 @@ class BlochCurlCurl:
             elif defl == "gmg":
                 proj = partial(op.gradient_component_gmg, k=k)
             else:
+                # CG on the TRUE deflation Laplacian, preconditioned by
+                # the mean-ε fast-diagonal solve (contrast-bounded κ ⇒
+                # near-exact projection in few iterations at any ε).
+                lpc = op.fastdiag_L().solver([("L", 1.0)], k,
+                                             method="eigh")
                 proj = partial(op.gradient_component, k=k,
-                               cg_iters=cg_iters)
+                               cg_iters=cg_iters, lprecond=lpc)
             X0p = X0 - jax.vmap(proj)(X0)
 
             if precond == "fastdiag":
                 pc = op.fd_precond(k, shift=fd_shift)
+            elif precond == "fastdiag-cg":
+                pc = op.fd_precond_cg(k, shift=fd_shift)
             else:
                 pc = precond_in
 
@@ -911,11 +957,19 @@ class BlochCurlCurl:
                            (lambda R: R - proj(R)))
                 AM = ((lambda x: op.apply_AM_pallas(x, k))
                       if op.supports_fused_am() else None)
+                # Per-iteration X/P deflation requires the EXACT
+                # projector: for varying ε the fastdiag L is the
+                # mean-coefficient twin, and subtracting an inexact
+                # "kernel component" every iteration corrupts physical
+                # components (measured: 150-iteration stall at ε=13
+                # dielectric-sphere contrast). Inexact projectors only
+                # filter the preconditioned residuals.
+                kproj = proj if op._coef_elem_invariant() else None
                 return lobpcg(lambda x: op.apply_A(x, k),
                               lambda x: op.apply_M(x, k), X0p,
                               nev, maxiter=maxiter, tol=tol,
                               precond=pc_proj, scale_floor=sfloor,
-                              AM=AM, kernel_project=proj)
+                              AM=AM, kernel_project=kproj)
 
             if sigma is not None:
                 sig_val = sigma
