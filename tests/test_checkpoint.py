@@ -165,3 +165,35 @@ def test_write_vtk(tmp_path):
     txt = pathlib.Path(p).read_text()
     assert "STRUCTURED_GRID" in txt and "SCALARS mode0" in txt
     assert f"POINT_DATA {f.size}" in txt
+
+
+@pytest.mark.slow
+def test_warm_sharded_maxwell_spectral():
+    """App C.5 combined regime with the Maxwell SPECTRAL engine (the
+    5-output support-carrying solve): segment-sharded warm sweep must
+    match the sequential warm sweep, exercising the sharded support
+    array + spectral refine path."""
+    import jax
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+    from bravais_tpu.parallel.mesh import kpoint_mesh
+
+    lat = make_lattice("FCC")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
+    op = BlochCurlCurl(sp, dtype=jnp.complex64)
+    kf = [(0.25, 0.0, 0.25), (0.3, 0.05, 0.3), (0.5, 0.25, 0.75),
+          (0.45, 0.2, 0.6), (0.4, 0.3, 0.5), (0.5, 0.5, 0.5),
+          (0.2, 0.1, 0.15), (0.35, 0.15, 0.4)]
+    ks = np.asarray([lat.k_cart(f) for f in kf], np.float32)
+    mk = lambda: BandSweep(op, nev=4, block=8, tol=1e-6, maxiter=150,
+                           solve_fn=op.make_solve_fn(engine="spectral"))
+    r_warm = mk().run_warm(ks)
+    mesh = kpoint_mesh(jax.devices()[:4])
+    r_shard = mk().run_warm_sharded(ks, mesh)
+    assert np.max(r_warm.residuals) < 1e-9      # spectral refine used
+    assert np.max(r_shard.residuals) < 1e-9
+    # Near-degenerate multiplets are split at the ~1e-7 discretization
+    # level and different LOBPCG trajectories may surface different
+    # members; values agree to that level, not to f64 machine.
+    np.testing.assert_allclose(r_shard.eigenvalues, r_warm.eigenvalues,
+                               rtol=1e-6, atol=1e-9)
