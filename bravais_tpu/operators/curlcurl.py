@@ -625,8 +625,12 @@ class BlochCurlCurl:
                     dtype=self.dtype)
             k0 = np.zeros(3)
             fd = FastDiag(sp.grid.shape, sp.p, 3, self.A_rows, self.dtype)
-            fd.add_stencil("A", lambda u: twin.apply_A_np(u, k0))
-            fd.add_stencil("M", lambda u: twin.apply_M_np(u, k0))
+            ck = (sp.q, np.asarray(twin._eps_q64).tobytes(),
+                  np.asarray(twin._mu_inv_q64).tobytes())
+            fd.add_stencil("A", lambda u: twin.apply_A_np(u, k0),
+                           cache_key=("ccA",) + ck)
+            fd.add_stencil("M", lambda u: twin.apply_M_np(u, k0),
+                           cache_key=("ccM",) + ck)
             self._fd = fd
         return self._fd
 
@@ -642,7 +646,10 @@ class BlochCurlCurl:
             fd = FastDiag(self.h1.grid.shape, self.h1.p, 1, self.A_rows,
                           self.dtype)
             k0 = np.zeros(3)
-            fd.add_stencil("L", lambda u: qpl.apply_A_np(u, k0))
+            fd.add_stencil(
+                "L", lambda u: qpl.apply_A_np(u, k0),
+                cache_key=("ccL", self.h1.q,
+                           np.asarray(qpl._alpha_q64).tobytes()))
             self._fdL = fd
         return self._fdL
 
@@ -652,11 +659,15 @@ class BlochCurlCurl:
         deflation operator L = GᴴMG directly in block space from it."""
         fd = self.fastdiag()
         if "G" not in fd.stencils:
-            from bravais_tpu.operators.fastdiag import extract_stencil_rect
+            from bravais_tpu.operators.fastdiag import (
+                _disk_cached, extract_stencil_rect)
             k0 = np.zeros(3)
-            fd.stencils["G"] = extract_stencil_rect(
-                lambda u: self.apply_Gk_np(u, k0), 3, 1,
-                self.space.grid.shape, self.space.p)
+            sp = self.space
+            fd.stencils["G"] = _disk_cached(
+                ("ccG", sp.grid.shape, sp.p, self.A_rows.tobytes()),
+                lambda: extract_stencil_rect(
+                    lambda u: self.apply_Gk_np(u, k0), 3, 1,
+                    sp.grid.shape, sp.p))
         return fd
 
     def spectral_refine_np(self, support: np.ndarray, k: np.ndarray,

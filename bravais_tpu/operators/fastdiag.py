@@ -52,6 +52,38 @@ import numpy as np
 __all__ = ["FastDiag", "extract_stencil"]
 
 
+def _disk_cached(key_obj, compute):
+    """Load/store a numpy array under a content-hash key in the repo's
+    stencil cache (BRAVAIS_STENCIL_CACHE overrides; empty string
+    disables). Atomic write; any IO failure falls back to computing."""
+    import hashlib
+    import os
+    import pickle
+
+    cdir = os.environ.get(
+        "BRAVAIS_STENCIL_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            ".stencil_cache"))
+    if not cdir:
+        return compute()
+    try:
+        key = hashlib.sha256(
+            pickle.dumps(key_obj, protocol=4)).hexdigest()[:32]
+        path = os.path.join(cdir, key + ".npy")
+        if os.path.exists(path):
+            return np.load(path)
+        arr = compute()
+        os.makedirs(cdir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, path)
+        return arr
+    except (OSError, pickle.PicklingError):
+        return compute()
+
+
 def extract_stencil_rect(apply0: Callable, ncomp_out: int, ncomp_in: int,
                          shape: Sequence[int], p: int) -> np.ndarray:
     """Rectangular variant of :func:`extract_stencil` for operators
@@ -150,9 +182,20 @@ class FastDiag:
             list(itertools.product((-1, 0, 1), repeat=self.d)), np.int64)
         self.stencils: dict[str, np.ndarray] = {}
 
-    def add_stencil(self, name: str, apply0: Callable) -> "FastDiag":
-        self.stencils[name] = extract_stencil(apply0, self.ncomp,
-                                              self.shape, self.p)
+    def add_stencil(self, name: str, apply0: Callable,
+                    cache_key=None) -> "FastDiag":
+        """Extract (or load) the k=0 stencil. ``cache_key``: any
+        picklable object fully determining the stencil (operator
+        coefficients, grid, order) — enables the disk cache (stencil
+        extraction probes hundreds of f64 host applies, ~minutes of
+        single-core time per fresh process at production sizes)."""
+        def compute():
+            return extract_stencil(apply0, self.ncomp, self.shape,
+                                   self.p)
+        self.stencils[name] = (_disk_cached(
+            ("stencil", name, self.shape, self.p, self.ncomp,
+             self.A_rows.tobytes(), cache_key), compute)
+            if cache_key is not None else compute())
         return self
 
     # -- traced pieces -------------------------------------------------

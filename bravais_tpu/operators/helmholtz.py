@@ -191,8 +191,14 @@ class BlochHelmholtz:
             fd = FastDiag(sp.grid.shape, sp.p, 1,
                           sp.grid.lattice.A, self.dtype)
             k0 = np.zeros(sp.dim)
-            fd.add_stencil("A", lambda u: stiff.apply_A_np(u, k0))
-            fd.add_stencil("M", lambda u: mass.apply_A_np(u, k0))
+            fd.add_stencil(
+                "A", lambda u: stiff.apply_A_np(u, k0),
+                cache_key=("h1A", sp.q,
+                           np.asarray(stiff._alpha_q64).tobytes()))
+            fd.add_stencil(
+                "M", lambda u: mass.apply_A_np(u, k0),
+                cache_key=("h1M", sp.q,
+                           np.asarray(mass._beta_q64).tobytes()))
             self._qp_fd = fd
         return self._qp_fd
 
