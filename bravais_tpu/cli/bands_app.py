@@ -38,12 +38,21 @@ def build_problem(cfg):
                                  center, lat.A, cfg.smooth_width)
         else:
             eps = cfg.eps_out
+        from bravais_tpu.operators.coefficients import subcell_average
+        qcell = lat.A / (cfg.n * sp.q)   # quadrature subcell vectors
         if cfg.problem == "te":
-            # TE (H_z): alpha = 1/eps, beta = 1  (SURVEY.md App. B.1)
+            # TE (H_z): alpha = 1/eps, beta = 1  (SURVEY.md App. B.1).
+            # Subcell smoothing averages 1/ε — the coefficient the weak
+            # form integrates (the harmonic member of the classic
+            # subpixel-smoothing pair).
             inv = (lambda x: 1.0 / eps(x)) if callable(eps) else 1.0 / eps
+            if cfg.subcell > 1 and callable(inv):
+                inv = subcell_average(inv, qcell, cfg.subcell)
             op = BlochHelmholtz(sp, alpha=inv, beta=1.0, dtype=cfg.dtype)
         else:
             # TM (E_z) / generic scalar: alpha = 1, beta = eps
+            if cfg.subcell > 1 and callable(eps):
+                eps = subcell_average(eps, qcell, cfg.subcell)
             op = BlochHelmholtz(sp, alpha=1.0, beta=eps, dtype=cfg.dtype)
         return lat, kp, op
     if cfg.problem == "maxwell":
@@ -58,6 +67,10 @@ def build_problem(cfg):
                                     cfg.smooth_width)
         else:
             eps = cfg.eps_out
+        if cfg.subcell > 1 and callable(eps):
+            from bravais_tpu.operators.coefficients import subcell_average
+            eps = subcell_average(eps, lat.A / (cfg.n * sp.q),
+                                  cfg.subcell)
         op = BlochCurlCurl(sp, eps=eps, dtype=cfg.dtype)
         return lat, kp, op
     raise ValueError(f"unknown problem {cfg.problem!r}")

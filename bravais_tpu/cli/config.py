@@ -35,6 +35,9 @@ class RunConfig:
     eps_out: float = 1.0
     radius: float = 0.0              # 0 -> homogeneous (empty lattice)
     smooth_width: float = 0.0        # interface smoothing (MPB-style)
+    #: subcell-average the coefficient on an N^d midpoint grid per
+    #: quadrature subcell (0 = pointwise sampling)
+    subcell: int = 0
     # k-path
     nk: int = 32
     path: Optional[List[List[str]]] = None   # None -> lattice default

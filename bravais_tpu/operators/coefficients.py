@@ -18,7 +18,7 @@ from typing import Callable
 import numpy as np
 
 __all__ = ["dielectric_rod", "dielectric_sphere", "smoothed_indicator",
-           "periodic_distance"]
+           "periodic_distance", "subcell_average"]
 
 
 def periodic_distance(x: np.ndarray, center, lattice_A: np.ndarray
@@ -60,3 +60,32 @@ def dielectric_rod(eps_in: float, eps_out: float, radius: float,
 
 # 3D: same formula — the periodic distance handles it.
 dielectric_sphere = dielectric_rod
+
+
+def subcell_average(fn: Callable, cell_vectors: np.ndarray,
+                    nsub: int = 4) -> Callable:
+    """MPB-style subcell smoothing: evaluate the coefficient on an
+    ``nsub``^d midpoint grid spanning the quadrature subcell around
+    each sample point and return the arithmetic mean — the weak form
+    then integrates the locally averaged material instead of a
+    pointwise-sampled sharp interface (kills the O(1) staircase jitter
+    of interface quadrature; SURVEY.md §7.0 item 1).
+
+    ``cell_vectors``: (d, d) rows spanning the averaging cell in
+    physical coordinates — pass ``lattice.A / (n * q)`` (the
+    quadrature-point spacing). TM passes ε itself; TE passes 1/ε (the
+    coefficient the weak form actually integrates), which makes this
+    the arithmetic/harmonic pair of classic subpixel smoothing."""
+    V = np.asarray(cell_vectors, np.float64)
+    d = V.shape[0]
+    ax = [(np.arange(nsub) + 0.5) / nsub - 0.5 for _ in range(d)]
+    mesh = np.meshgrid(*ax, indexing="ij")
+    frac = np.stack([m.ravel() for m in mesh], axis=-1)  # (nsub^d, d)
+    disp = frac @ V                                      # (nsub^d, d)
+
+    def avg(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float64)
+        vals = fn(x[..., None, :] + disp)                # (..., nsub^d)
+        return np.mean(vals, axis=-1)
+
+    return avg
