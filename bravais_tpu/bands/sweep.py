@@ -343,11 +343,15 @@ class BandSweep:
         lam_all = np.zeros((ndev, per, self.nev), rdtype)
         its_all = np.zeros((ndev, per), np.int32)
         res_all = np.zeros((ndev, per, self.nev), rdtype)
+        vecs = (np.zeros((ndev, per, 2, self.nev) + shp[1:], rdtype)
+                if self.keep_vectors else None)
         wall = compile_s = 0.0
         for t in range(per):
             t0 = time.time()
             outs = self._jit_seg(X0, jnp.asarray(kseg[:, t]))
             its, X_reim = outs[1], outs[3]
+            if vecs is not None:
+                vecs[:, t] = np.asarray(X_reim)[:, :, :self.nev]
             sup = outs[4] if len(outs) > 4 else None
             lam = np.array(outs[0])
             res = np.array(outs[2])
@@ -383,4 +387,7 @@ class BandSweep:
         its_flat = its_all.reshape(ndev * per)[:nk]
         res_flat = res_all.reshape(ndev * per, self.nev)[:nk]
         return SweepResult(lam_flat, its_flat, res_flat, wall_s=wall,
-                           compile_s=compile_s)
+                           compile_s=compile_s,
+                           eigenvectors=(vecs.reshape(
+                               (ndev * per, 2, self.nev) + shp[1:])[:nk]
+                               if vecs is not None else None))

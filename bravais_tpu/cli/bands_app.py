@@ -103,12 +103,12 @@ def make_solve_fn(cfg, op):
     if engine == "field":
         if op._coef_elem_invariant():
             return mk(deflation="project", precond="fastdiag")
-        # Varying ε: σ-shift formulation with the fastdiag-
-        # preconditioned TRUE-operator CG projector (self-correcting
-        # under the shift) + inner-outer (A+sM)⁻¹ PCG preconditioning —
-        # the contrast-robust configuration (the exact-projection path
-        # needs an exact L).
-        return mk(deflation="cg", precond="fastdiag-cg")
+        # Varying ε: per-iteration TRUE-L PCG projection (kernel-
+        # contracting at any contrast — unlike the mean-twin direct
+        # solve) + inner-outer (A+sM)⁻¹ PCG preconditioning. Measured
+        # (round 3): 13 LOBPCG iters at ε=13 sphere contrast vs 81-120
+        # for the round-2 σ-shift configuration.
+        return mk(deflation="project-cg", precond="fastdiag-cg")
     return mk(deflation_gmg=True)
 
 
@@ -121,9 +121,11 @@ def run(cfg, log=print):
     # Pin the backend BEFORE any device op. The JAX_PLATFORMS env var
     # alone is not honored once the axon TPU plugin registers
     # (CLAUDE.md), so apply it via config; and f64/complex128 exists
-    # only on the CPU backend, so --precision f64 implies CPU + x64.
+    # only on the CPU backend, so --precision f64 implies CPU + x64 —
+    # UNCONDITIONALLY (the env var is always 'axon' on this platform;
+    # honoring it would pin a backend with no f64 — ADVICE r2 #1).
     plat = os.environ.get("JAX_PLATFORMS")
-    if cfg.precision == "f64" and not plat:
+    if cfg.precision == "f64":
         plat = "cpu"
     if plat:
         jax.config.update("jax_platforms", plat)
@@ -185,7 +187,14 @@ def run(cfg, log=print):
                         "iters": int(res.iterations[j]),
                         "max_rel_res": float(np.max(res.residuals[j])),
                         "eigenvalues": [float(v) for v in lamj]}))
-    if cfg.save_modes and cfg.out and res.eigenvectors is not None:
+    if cfg.save_modes and cfg.out:
+        if res.eigenvectors is None:
+            # Every sweep regime honors keep_vectors (incl. warm+shard,
+            # ADVICE r2 #3) — reaching here means a regression, so be
+            # loud instead of silently doing less than asked.
+            raise RuntimeError(
+                "--save-modes requested but the sweep returned no "
+                "eigenvectors (keep_vectors not honored)")
         for j, i in enumerate(todo):
             save_modes(cfg.out, i, kp.k_cart[i], res.eigenvalues[j],
                        res.eigenvectors[j])

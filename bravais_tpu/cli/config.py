@@ -64,9 +64,14 @@ class RunConfig:
     def to_dict(self) -> Dict:
         return dataclasses.asdict(self)
 
-    #: fields that do not change the physics/results identity of a run
+    #: fields that do not change the physics/results identity of a run.
+    #: ``engine`` is NOT execution-only: for scalar problems the
+    #: spectral engine solves the quasi-periodic twin discretization
+    #: whose eigenvalues differ from the pointwise-ik path at
+    #: discretization-error level, so a resume across engines would
+    #: silently mix two discretizations in one band table (ADVICE r2 #2).
     _EXECUTION_FIELDS = ("out", "resume", "plot", "mode", "shard",
-                         "engine", "save_modes")
+                         "save_modes")
 
     def identity_dict(self) -> Dict:
         """The config subset that identifies a run's RESULTS — used for

@@ -277,6 +277,17 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     order = jnp.argsort(lam)
     lam, rel = lam[order], rel[order]
     Xout = c.X[order]
+    # If unhealthy rows land inside the nev window (more dropped rows
+    # than guard vectors) the inf sentinels must not leak into caller
+    # outputs (JSON/band tables — ADVICE r2 #5): clamp eigenvalues to
+    # the largest healthy value and residuals to a large finite number;
+    # ``converged`` stays False for them, which is the detectable signal.
+    finite = jnp.isfinite(lam)
+    lam_top = jnp.max(jnp.where(finite, lam, -jnp.inf))
+    lam_top = jnp.where(jnp.isfinite(lam_top), lam_top,
+                        jnp.asarray(0.0, rdtype))
+    lam = jnp.where(finite, lam, lam_top)
+    rel = jnp.minimum(rel, jnp.asarray(1e6, rdtype))
     return LobpcgResult(eigenvalues=lam[:nev],
                         eigenvectors=Xout.reshape(m, *dof_shape),
                         iterations=c.it,

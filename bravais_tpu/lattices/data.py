@@ -329,6 +329,26 @@ def _mcl(a, b, c, al, be, ga):
     return A, pts, path, "MCL", False
 
 
+def _path_on_bz(B: np.ndarray, pts: Dict[str, np.ndarray],
+                path: List[List[str]], tol: float = 1e-7) -> bool:
+    """True when every non-Γ path point lies ON the first-BZ boundary
+    (Voronoi property of S&C symmetry points: |k| = min_G |k − G| with
+    the minimum attained at some G ≠ 0). Used as a runtime validity
+    guard for the parameter-dependent MCLC tables."""
+    import itertools as _it
+    Gs = np.array([m for m in _it.product(range(-2, 3), repeat=3)
+                   if m != (0, 0, 0)], np.float64) @ B
+    for lbl in {x for seg in path for x in seg}:
+        k = pts[lbl] @ B
+        r = np.linalg.norm(k)
+        if r < tol:      # Γ
+            continue
+        dmin = np.min(np.linalg.norm(k - Gs[None], axis=-1))
+        if abs(r - dmin) > tol * max(r, 1.0):
+            return False
+    return True
+
+
 def _mclc(a, b, c, al, be, ga):
     # C-centered monoclinic, S&C convention (unique axis alpha).
     A = np.array([[a / 2, b / 2, 0], [-a / 2, b / 2, 0],
@@ -344,10 +364,82 @@ def _mclc(a, b, c, al, be, ga):
         t = b * np.cos(al) / c + (b * np.sin(al) / a) ** 2
         variant = "MCLC3" if t < 1 - 1e-10 else ("MCLC4" if t <= 1 + 1e-10
                                                  else "MCLC5")
-    # S&C point tables for MCLC could not be verified offline — use the
-    # sanctioned generic fractional path (SURVEY.md App. A fallback).
-    pts, path = _generic_path_3d()
-    return A, pts, path, variant, True
+    # S&C parameter-dependent point tables (offline recollection,
+    # VALIDATED numerically: every path point of every variant
+    # satisfies the BZ Voronoi property |k| = min_G |k−G| over wide
+    # parameter scans — see tests/test_lattices.py). The tables assume
+    # moderate cells; strongly obtuse kγ with a ≪ b drives η/ψ out of
+    # [0,1] (a known S&C-regime limitation), which the _path_on_bz
+    # guard below detects → sanctioned generic-path fallback
+    # (SURVEY.md App. A; labels only, eigensolves unaffected).
+    sa, ca = np.sin(al), np.cos(al)
+    if variant in ("MCLC1", "MCLC2"):
+        ze = (2 - b * ca / c) / (4 * sa * sa)
+        eta = 0.5 + 2 * ze * c * ca / b
+        psi = 0.75 - a * a / (4 * b * b * sa * sa)
+        phi = psi + (0.75 - psi) * b * ca / c
+        pts = _pts({
+            "G": (0, 0, 0), "N": (0.5, 0, 0), "N1": (0, -0.5, 0),
+            "F": (1 - ze, 1 - ze, 1 - eta), "F1": (ze, ze, eta),
+            "F2": (-ze, -ze, 1 - eta), "F3": (1 - ze, -ze, 1 - eta),
+            "I": (phi, 1 - phi, 0.5), "I1": (1 - phi, phi - 1, 0.5),
+            "L": (0.5, 0.5, 0.5), "M": (0.5, 0, 0.5),
+            "X": (1 - psi, psi - 1, 0), "X1": (psi, 1 - psi, 0),
+            "X2": (psi - 1, -psi, 0), "Y": (0.5, 0.5, 0),
+            "Y1": (-0.5, -0.5, 0), "Z": (0, 0, 0.5),
+        })
+        path = ([["G", "Y", "F", "L", "I"], ["I1", "Z", "F1"],
+                 ["Y", "X1"], ["X", "G", "N"], ["M", "G"]]
+                if variant == "MCLC1" else
+                [["G", "Y", "F", "L", "I"], ["I1", "Z", "F1"],
+                 ["N", "G", "M"]])
+    elif variant in ("MCLC3", "MCLC4"):
+        mu = (1 + b * b / (a * a)) / 4
+        de = b * c * ca / (2 * a * a)
+        ze = mu - 0.25 + (1 - b * ca / c) / (4 * sa * sa)
+        eta = 0.5 + 2 * ze * c * ca / b
+        phi = 1 + ze - 2 * mu
+        psi = eta - 2 * de
+        pts = _pts({
+            "G": (0, 0, 0), "F": (1 - phi, 1 - phi, 1 - psi),
+            "F1": (phi, phi - 1, psi), "F2": (1 - phi, -phi, 1 - psi),
+            "H": (ze, ze, eta), "H1": (1 - ze, -ze, 1 - eta),
+            "H2": (-ze, -ze, 1 - eta), "I": (0.5, -0.5, 0.5),
+            "M": (0.5, 0, 0.5), "N": (0.5, 0, 0), "N1": (0, -0.5, 0),
+            "X": (0.5, -0.5, 0), "Y": (mu, mu, de),
+            "Y1": (1 - mu, -mu, -de), "Y2": (-mu, -mu, -de),
+            "Y3": (mu, mu - 1, de), "Z": (0, 0, 0.5),
+        })
+        path = ([["G", "Y", "F", "H", "Z", "I", "F1"],
+                 ["H1", "Y1", "X", "G", "N"], ["M", "G"]]
+                if variant == "MCLC3" else
+                [["G", "Y", "F", "H", "Z", "I"],
+                 ["H1", "Y1", "X", "G", "N"], ["M", "G"]])
+    else:  # MCLC5
+        ze = (b * b / (a * a) + (1 - b * ca / c) / (sa * sa)) / 4
+        eta = 0.5 + 2 * ze * c * ca / b
+        mu = eta / 2 + b * b / (4 * a * a) - b * c * ca / (2 * a * a)
+        nu = 2 * mu - ze
+        rho = 1 - ze * a * a / (b * b)
+        om = (4 * nu - 1 - b * b * sa * sa / (a * a)) * c / (2 * b * ca)
+        de = ze * c * ca / b + om / 2 - 0.25
+        pts = _pts({
+            "G": (0, 0, 0), "F": (nu, nu, om),
+            "F1": (1 - nu, 1 - nu, 1 - om), "F2": (nu, nu - 1, om),
+            "H": (ze, ze, eta), "H1": (1 - ze, -ze, 1 - eta),
+            "H2": (-ze, -ze, 1 - eta), "I": (rho, 1 - rho, 0.5),
+            "I1": (1 - rho, rho - 1, 0.5), "L": (0.5, 0.5, 0.5),
+            "M": (0.5, 0, 0.5), "N": (0.5, 0, 0), "N1": (0, -0.5, 0),
+            "X": (0.5, -0.5, 0), "Y": (mu, mu, de),
+            "Y1": (1 - mu, -mu, -de), "Y2": (-mu, -mu, -de),
+            "Y3": (mu, mu - 1, de), "Z": (0, 0, 0.5),
+        })
+        path = [["G", "Y", "F", "L", "I"], ["I1", "Z", "H", "F1"],
+                ["H1", "Y1", "X", "G", "N"], ["M", "G"]]
+    if not _path_on_bz(B, pts, path):
+        pts, path = _generic_path_3d()
+        return A, pts, path, variant, True
+    return A, pts, path, variant, False
 
 
 def _tri(a, b, c, al, be, ga):

@@ -897,11 +897,15 @@ class BlochCurlCurl:
         spectrally repulsive (eigenvalue σ) while leaving physical modes
         untouched EXACTLY (Gᴴ M u_phys = 0), so leakage self-corrects.
 
-        ``deflation``: "cg" (Jacobi-CG, ``cg_iters``), "gmg" (QPGMG
-        cycles), "fastdiag" (σ-shift with the direct twisted-DFT solve),
-        or "project" (per-iteration (I−P) projection of the
-        preconditioned residuals with the exact fast-diagonal projector
-        — NO σ term at all; the production default). Why "project"
+        ``deflation``: "cg" (σ-shift; fd-preconditioned CG projector,
+        ``cg_iters``), "gmg" (σ-shift; QPGMG cycles), "fastdiag"
+        (σ-shift with the direct twisted-DFT solve), "project"
+        (per-iteration (I−P) projection with the exact fast-diagonal
+        projector — NO σ term; production default for element-invariant
+        coefficients), or "project-cg" (per-iteration projection with
+        the TRUE-L PCG projector — NO σ term; the varying-ε production
+        default, see the branch comment for why inexact-but-contracting
+        is safe while the mean-twin direct solve is not). Why "project"
         beats the shift in f32: P carries absolute noise ~ε/√w₀ from
         the f32 rhs; the shift formulation injects σ·(that noise) into
         every operator apply (measured: an 87-iteration near-Γ crawl at
@@ -943,6 +947,21 @@ class BlochCurlCurl:
                 def proj(u):
                     rhs = op.apply_GkH(op.apply_M(u, k), k)
                     return op.apply_Gk(lsolve(rhs), k)
+            elif defl == "project-cg":
+                # Varying-ε per-iteration projection: PCG on the TRUE
+                # L = GᴴM_εG, preconditioned by the mean-ε fast-diagonal
+                # solve. Unlike the mean-TWIN direct projector (whose
+                # error operator I − L̃⁻¹L has eigenvalues up to
+                # contrast−1 ⇒ kernel AMPLIFICATION, the measured
+                # round-2 stall), PCG on the true L contracts
+                # monotonically in the L-norm at a contrast-bounded
+                # rate, and its output lives in range(G), so it can
+                # only ever move the gradient component — per-iteration
+                # X/P deflation is safe at any contrast.
+                lpc = op.fastdiag_L().solver([("L", 1.0)], k,
+                                             method="eigh")
+                proj = partial(op.gradient_component, k=k,
+                               cg_iters=cg_iters, lprecond=lpc)
             elif defl == "gmg":
                 proj = partial(op.gradient_component_gmg, k=k)
             else:
@@ -962,20 +981,20 @@ class BlochCurlCurl:
             else:
                 pc = precond_in
 
-            if defl == "project":
+            if defl in ("project", "project-cg"):
                 pc_proj = ((lambda R: (lambda z: z - proj(z))(pc(R)))
                            if pc is not None else
                            (lambda R: R - proj(R)))
                 AM = ((lambda x: op.apply_AM_pallas(x, k))
                       if op.supports_fused_am() else None)
-                # Per-iteration X/P deflation requires the EXACT
-                # projector: for varying ε the fastdiag L is the
-                # mean-coefficient twin, and subtracting an inexact
-                # "kernel component" every iteration corrupts physical
-                # components (measured: 150-iteration stall at ε=13
-                # dielectric-sphere contrast). Inexact projectors only
-                # filter the preconditioned residuals.
-                kproj = proj if op._coef_elem_invariant() else None
+                # Per-iteration X/P deflation needs a projector that
+                # CONTRACTS the kernel: the exact fast-diagonal solve
+                # ("project", element-invariant ε) or true-L PCG
+                # ("project-cg", any ε). The mean-TWIN direct solve
+                # must NOT be used here (kernel amplification up to
+                # contrast−1 per iteration — the measured round-2
+                # 150-iteration stall at ε=13).
+                kproj = proj
                 return lobpcg(lambda x: op.apply_A(x, k),
                               lambda x: op.apply_M(x, k), X0p,
                               nev, maxiter=maxiter, tol=tol,
@@ -984,7 +1003,13 @@ class BlochCurlCurl:
 
             if sigma is not None:
                 sig_val = sigma
-            elif precond == "fastdiag":
+            elif precond in ("fastdiag", "fastdiag-cg"):
+                # σ matched to the fd-preconditioner scale for BOTH the
+                # direct and the inner-PCG preconditioner variants: the
+                # λmax-scale default was measured to TRIPLE iteration
+                # counts under fd preconditioning (fd_sigma docstring) —
+                # round 2 ran the varying-ε config ("fastdiag-cg") with
+                # the wrong branch (81–120 iters/k at ε=13).
                 sig_val = op.fd_sigma(X0.shape[0])
             else:
                 sig_val = op.sigma_shift

@@ -145,3 +145,59 @@ def test_te_subcell_averaging_improves_convergence():
     err_point = abs(band1_te(8, 0) - ref) / ref
     err_avg = abs(band1_te(8, 4) - ref) / ref
     assert err_avg < 0.7 * err_point, (err_point, err_avg)
+
+
+def test_hex_tm_matches_dense_oracle():
+    """Hexagonal (triangular) lattice dielectric rods: matrix-free +
+    LOBPCG vs dense f64 assembly on the SAME discretization — the
+    non-orthogonal-cell twin of the square parity test."""
+    lat = make_lattice("HEX2D")
+    sp = H1Space.make(PeriodicGrid.make(lat, 8), 2)
+    eps = dielectric_rod(12.0, 1.0, 0.2, 0.5 * lat.A.sum(0), lat.A)
+    op = BlochHelmholtz(sp, alpha=1.0, beta=eps, dtype=jnp.complex128)
+    sweep = BandSweep(op, nev=4, block=8, tol=1e-10, maxiter=400)
+    kpts = np.asarray([lat.k_cart((0.5, 0.0)),        # M
+                       lat.k_cart((1 / 3, 1 / 3))])   # K
+    res = sweep.run(kpts)
+    for i, k in enumerate(kpts):
+        A, M = assemble_h1(sp, k, alpha=1.0, beta=eps)
+        exact = scipy.linalg.eigh(A, M, eigvals_only=True)[:4]
+        np.testing.assert_allclose(res.eigenvalues[i], exact, rtol=1e-8,
+                                   atol=1e-9)
+
+
+def test_hex_tm_band_gap_vs_published():
+    """Config-2 second half (BASELINE.json:8 'square + hexagonal'):
+    the MPB tutorial 'tri-rods' crystal — triangular lattice of ε=12
+    dielectric rods, r = 0.2a in air. Published TM gap between bands
+    1–2: ωa/2πc ≈ 0.2756 → 0.4464 (≈47% gap/midgap). Loose-published
+    + dense-oracle pattern of the square TM test; this discretization
+    (n=16, p=3, f64) reproduces the edges to <0.5%."""
+    cfg = RunConfig(lattice="HEX2D", problem="tm", eps_in=12.0,
+                    eps_out=1.0, radius=0.2, n=16, p=3, nk=15, nev=3,
+                    tol=1e-8, maxiter=500, precision="f64",
+                    mode="batched")
+    lat, kp, op = build_problem(cfg)
+    sweep = BandSweep(op, nev=3, tol=1e-8, maxiter=500)
+    res = sweep.run(kp.k_cart)
+    f = _freqs(res.eigenvalues)
+    gap_bottom = f[:, 0].max()
+    gap_top = f[:, 1].min()
+    assert gap_bottom < gap_top, "TM gap must exist"
+    assert abs(gap_bottom - 0.2756) < 0.01, gap_bottom
+    assert abs(gap_top - 0.4464) < 0.015, gap_top
+    gap_ratio = 2 * (gap_top - gap_bottom) / (gap_top + gap_bottom)
+    assert abs(gap_ratio - 0.474) < 0.03, gap_ratio
+
+
+def test_hex_te_no_full_gap():
+    """The tri-rods crystal has NO complete TE gap between bands 1-2
+    (TE gaps need connected high-ε regions — Joannopoulos ch. 5)."""
+    cfg = RunConfig(lattice="HEX2D", problem="te", eps_in=12.0,
+                    eps_out=1.0, radius=0.2, n=12, p=2, nk=12, nev=3,
+                    tol=1e-7, maxiter=400, precision="f64",
+                    mode="batched")
+    lat, kp, op = build_problem(cfg)
+    res = BandSweep(op, nev=3, tol=1e-7, maxiter=400).run(kp.k_cart)
+    f = _freqs(res.eigenvalues)
+    assert f[:, 0].max() > f[:, 1].min()

@@ -101,3 +101,29 @@ def test_write_csv(tmp_path):
     lines = p.read_text().strip().splitlines()
     assert len(lines) == kp.nk + 1
     assert lines[0].startswith("dist,kfrac0,kfrac1,band0")
+
+
+def test_warm_sharded_keep_vectors():
+    """run_warm_sharded must honor keep_vectors (round-2 verdict: it
+    silently dropped eigenvectors, so --save-modes + warm + shard did
+    less than asked). The returned modes must satisfy the eigen
+    equation of their k-point."""
+    lat, op = _setup(n=6, p=2)
+    kp = kpath(lat, npts=10)
+    mesh = kpoint_mesh(jax.devices()[:8])
+    sweep = BandSweep(op, nev=2, block=6, tol=1e-9, maxiter=200,
+                      keep_vectors=True)
+    res = sweep.run_warm_sharded(kp.k_cart, mesh)
+    assert res.eigenvectors is not None
+    assert res.eigenvectors.shape[:3] == (kp.nk, 2, 2)
+    for i in range(0, kp.nk, 3):
+        k = jnp.asarray(kp.k_cart[i])
+        v = res.eigenvectors[i][0] + 1j * res.eigenvectors[i][1]
+        for j in range(2):
+            x = jnp.asarray(v[j])
+            Av = np.asarray(op.apply_A(x, k))
+            Mv = np.asarray(op.apply_M(x))
+            lam = res.eigenvalues[i, j]
+            r = np.linalg.norm(Av - lam * Mv)
+            assert r < 1e-6 * max(abs(lam), 1.0) * np.linalg.norm(Mv), (
+                i, j, r)
