@@ -12,6 +12,7 @@ self-consistency test.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.linalg
 
 from bravais_tpu.bands import BandSweep
@@ -166,6 +167,7 @@ def test_hex_tm_matches_dense_oracle():
                                    atol=1e-9)
 
 
+@pytest.mark.slow
 def test_hex_tm_band_gap_vs_published():
     """Config-2 second half (BASELINE.json:8 'square + hexagonal'):
     the MPB tutorial 'tri-rods' crystal — triangular lattice of ε=12
