@@ -37,10 +37,14 @@ def main():
     ap.add_argument("--p", type=int, default=0, help="order (0 = default)")
     ap.add_argument("--nev", type=int, default=10)
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--mode", choices=["warm", "batched"], default="warm")
+    ap.add_argument("--mode", choices=["warm", "batched", "warm-seg"],
+                    default="warm")
     ap.add_argument("--chunk", type=int, default=0,
                     help="batched mode: k-points per launch (bounds "
                     "program size; 0 = all nk in one launch)")
+    ap.add_argument("--segments", type=int, default=4,
+                    help="warm-seg mode: vmapped warm-start chains per "
+                    "launch (batches the latency-bound per-k setup)")
     ap.add_argument("--engine", choices=["spectral", "field"],
                     default="spectral",
                     help="Maxwell solve engine: 'spectral' = all-block-"
@@ -80,9 +84,8 @@ def main():
         eps = dielectric_sphere(args.eps_in, 1.0, args.radius,
                                 0.5 * lat.A.sum(axis=0), lat.A)
         op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
-        solve_fn = op.make_solve_fn(deflation="project-cg",
-                                    precond="fastdiag-cg",
-                                    cg_iters=args.cg_iters // 2)
+        solve_fn = op.make_solve_fn(deflation="project-cheby",
+                                    precond="fastdiag-cg")
         sweep = BandSweep(op, nev=args.nev, block=args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
                           solve_fn=solve_fn)
@@ -146,14 +149,20 @@ def main():
                 kc[i] = 2e-2 * lat.B[0]
 
     t_all = time.time()
-    res = (sweep.run_warm(kc) if args.mode == "warm"
-           else sweep.run(kc, chunk=args.chunk or None))
+    if args.mode == "warm":
+        res = sweep.run_warm(kc)
+    elif args.mode == "warm-seg":
+        res = sweep.run_warm_sharded(kc, segments=args.segments)
+    else:
+        res = sweep.run(kc, chunk=args.chunk or None)
     # Steady-state k-points: wall_s excludes the first launch (compile);
     # warm mode launches per k, batched mode per chunk. Single-launch
     # batched runs (chunk >= nk) have NO steady launch — re-run the
     # (now compiled+cached) program and time that instead of emitting
     # the 1/1e-9 garbage rate (ADVICE r2 #4 / VERDICT r2 weak #3).
-    first = 1 if args.mode == "warm" else (args.chunk or kp.nk)
+    first = (1 if args.mode == "warm" else
+             args.segments if args.mode == "warm-seg" else
+             (args.chunk or kp.nk))
     n_steady = max(kp.nk - first, 1)
     wall = res.wall_s
     if args.mode == "batched" and first >= kp.nk:
@@ -199,6 +208,13 @@ def main():
         if args.mode == "warm" and sweep._jit_single is not None:
             compiled = (sweep._jit_single
                         .lower(X0, jnp.asarray(kc[0])).compile())
+        elif args.mode == "warm-seg" and sweep._jit_seg is not None:
+            per_launch = args.segments
+            X0s = jnp.asarray(np.broadcast_to(
+                np.asarray(X0)[None], (per_launch,) + X0.shape).copy())
+            compiled = (sweep._jit_seg
+                        .lower(X0s, jnp.asarray(kc[:per_launch]))
+                        .compile())
         elif sweep._jit_batched is not None:
             per_launch = min(args.chunk or kp.nk, kp.nk)
             compiled = (sweep._jit_batched

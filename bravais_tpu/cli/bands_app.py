@@ -103,12 +103,14 @@ def make_solve_fn(cfg, op):
     if engine == "field":
         if op._coef_elem_invariant():
             return mk(deflation="project", precond="fastdiag")
-        # Varying ε: per-iteration TRUE-L PCG projection (kernel-
-        # contracting at any contrast — unlike the mean-twin direct
-        # solve) + inner-outer (A+sM)⁻¹ PCG preconditioning. Measured
-        # (round 3): 13 LOBPCG iters at ε=13 sphere contrast vs 81-120
-        # for the round-2 σ-shift configuration.
-        return mk(deflation="project-cg", precond="fastdiag-cg")
+        # Varying ε: per-iteration TRUE-L preconditioned-Chebyshev
+        # projection (kernel-contracting at any contrast — unlike the
+        # mean-twin direct solve; reduction-free and f32-stable —
+        # unlike CG, see gradient_component_cheby) + inner-outer
+        # (A+sM)⁻¹ PCG preconditioning. Measured (round 3): 13-20
+        # LOBPCG iters at ε ∈ [2, 30] sphere contrast vs 81-120 for
+        # the round-2 σ-shift configuration at ε=13.
+        return mk(deflation="project-cheby", precond="fastdiag-cg")
     return mk(deflation_gmg=True)
 
 

@@ -607,6 +607,23 @@ class BlochCurlCurl:
                 return False
         return True
 
+    def coef_contrast(self) -> float:
+        """max/min ratio over ε and μ⁻¹ quadrature values — bounds the
+        condition number of the mean-twin-preconditioned operators."""
+        out = 1.0
+        for a in (self._eps_q64, self._mu_inv_q64):
+            a = np.asarray(a, np.float64)
+            out = max(out, float(a.max() / max(a.min(), 1e-300)))
+        return out
+
+    def adaptive_cg_iters(self) -> int:
+        """Inner-PCG budget for the true-L projector and shifted-
+        operator solves: ≈3√κ steps drive the CG error factor
+        ((√κ−1)/(√κ+1))^its below ~3e-3 at contrast κ. Measured
+        (round 3, ε=30 sphere): 8 fixed steps → 92 LOBPCG iterations,
+        16 → 20; this rule gives 17."""
+        return int(max(8, np.ceil(3.0 * np.sqrt(self.coef_contrast()))))
+
     def fastdiag(self):
         """FastDiag bundle with "A" and "M" stencils. Exact when the
         coefficients are element-translation-invariant (every headline
@@ -830,32 +847,135 @@ class BlochCurlCurl:
                            cg_iters: int = 25,
                            lprecond=None) -> jax.Array:
         """P u = G L⁻¹ Gᴴ M u — the M-orthogonal projection of ``u``
-        onto the gradient subspace (App. C.3). L solved by fixed
-        preconditioned-CG iterations (``lprecond``: callable r -> z, or
-        None for Jacobi). For a discrete PHYSICAL eigenvector (λ>0),
-        Gᴴ M u = 0 exactly, so P u = 0 regardless of the CG tolerance;
-        CG accuracy only matters for kernel directions."""
+        onto the gradient subspace (App. C.3). L solved by
+        preconditioned CG (``lprecond``: callable r -> z, or None for
+        Jacobi) with at most ``cg_iters`` steps AND an early exit on
+        tolerance or stagnation. The exit is load-bearing in f32, not
+        an optimization: past its floor, the CG recursion keeps
+        'converging' while x drifts — measured (ε=30 sphere, round 3):
+        16 fixed steps → 20 LOBPCG iterations, but 17 → 67 and
+        24 → 121, because the post-floor drift injects range(G) noise
+        into every projected block row. For a discrete PHYSICAL
+        eigenvector (λ>0), Gᴴ M u = 0 exactly, so P u = 0 regardless
+        of the CG tolerance; accuracy only matters for kernel
+        directions."""
         rhs = self.apply_GkH(self.apply_M(u, k), k)
         dpc = jnp.asarray(self._h1_diag0)
         pc = lprecond if lprecond is not None else (lambda r: r / dpc)
+        rdt = self.rdtype
 
-        def body(i, st):
-            x, r, p, rz = st
+        x0 = jnp.zeros_like(rhs)
+        z0 = pc(rhs)
+        rz0 = jnp.vdot(rhs, z0)
+        rhs_n = jnp.linalg.norm(rhs.ravel())
+        # ‖r_true‖ target: ~30·eps relative — the dtype's honest floor
+        # (callers like the f64 refine-stage cleanup rely on
+        # near-machine projection; in f32 the best-iterate tracking
+        # below makes running to the floor safe).
+        rtol = (30.0 * jnp.finfo(rdt).eps * rhs_n).astype(rdt)
+
+        def cond(st):
+            x, r, p, rz, bx, brn, i = st
+            return jnp.logical_and(i < cg_iters, brn > rtol)
+
+        def body(st):
+            x, r, p, rz, bx, brn, i = st
             Ap = self.apply_Lk(p, k)
-            denom = jnp.vdot(p, Ap)
-            alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+            # L and the preconditioner are HPD: α, β are real-positive
+            # in exact arithmetic. Using the real parts (and requiring
+            # a POSITIVE denominator) discards the f32 cancellation
+            # noise that otherwise produces huge spurious steps when
+            # pᴴLp cancels to ~0 near the solver floor.
+            denom = jnp.real(jnp.vdot(p, Ap))
+            rzr = jnp.real(rz)
+            alpha = jnp.where(denom > 1e-30, rzr / denom, 0.0
+                              ).astype(x.dtype)
             x = x + alpha * p
             r = r - alpha * Ap
             z = pc(r)
             rz_new = jnp.vdot(r, z)
-            beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
-            return x, r, z + beta * p, rz_new
+            beta = jnp.where(jnp.abs(rzr) > 1e-30,
+                             jnp.real(rz_new) / rzr, 0.0
+                             ).astype(x.dtype)
+            # TRUE residual (fresh L·x): past the f32 floor the CG
+            # recursion residual keeps 'converging' while x drifts, so
+            # the returned iterate is the argmin of the honest residual
+            # over the trajectory — never weaker than any smaller fixed
+            # budget, immune to post-floor drift. (No stagnation exit:
+            # the true-residual 2-norm legitimately oscillates mid-CG —
+            # only the A-norm error is monotone — so a plateau test
+            # fires early and returns a weak projection; measured
+            # ε=30: plateau-exit → 192 LOBPCG its vs ~20 here.)
+            rn = jnp.linalg.norm(
+                (rhs - self.apply_Lk(x, k)).ravel()).astype(rdt)
+            better = rn < brn
+            bx = jnp.where(better, x, bx)
+            brn = jnp.minimum(brn, rn)
+            return (x, r, z + beta * p, rz_new, bx, brn, i + 1)
 
-        x0 = jnp.zeros_like(rhs)
-        z0 = pc(rhs)
-        phi = jax.lax.fori_loop(
-            0, cg_iters, body, (x0, rhs, z0, jnp.vdot(rhs, z0)))[0]
+        st0 = (x0, rhs, z0, rz0, x0, rhs_n.astype(rdt),
+               jnp.asarray(0, jnp.int32))
+        phi = jax.lax.while_loop(cond, body, st0)[4]
         return self.apply_Gk(phi, k)
+
+    def cheby_bounds(self) -> tuple:
+        """Rigorous spectrum bounds of the mean-twin-preconditioned
+        deflation Laplacian: L = GᴴM_εG and L̃ = ε̄·GᴴM₁G weight the
+        SAME gradient quadrature, so the generalized Rayleigh quotient
+        lies in [min ε/ε̄, max ε/ε̄] exactly."""
+        e = np.asarray(self._eps_q64, np.float64)
+        ebar = float(np.mean(e))
+        return float(e.min()) / ebar, float(e.max()) / ebar
+
+    def cheby_steps(self) -> int:
+        """Chebyshev step count for ~0.05 kernel contraction:
+        2ρ^m ≤ 0.05 with ρ = (√κ−1)/(√κ+1) ⇒ m ≈ 1.85√κ."""
+        a, b = self.cheby_bounds()
+        return int(max(6, np.ceil(2.0 * np.sqrt(b / max(a, 1e-12)))))
+
+    def gradient_component_cheby(self, u: jax.Array, k: jax.Array,
+                                 steps: int | None = None,
+                                 lsolve=None) -> jax.Array:
+        """P u ≈ G L⁻¹ Gᴴ M u via PRECONDITIONED CHEBYSHEV on the true
+        L = GᴴM_εG with the mean-ε fast-diagonal solve as the
+        preconditioner — the varying-ε production projector.
+
+        Why Chebyshev and not (P)CG here: any G·W·GᴴM maps gradients
+        to gradients and exactly annihilates physical (M-orthogonal)
+        vectors, so the ONLY requirement is that the error polynomial
+        contracts on the preconditioned spectrum. Chebyshev with the
+        rigorous bounds of :meth:`cheby_bounds` is a FIXED polynomial:
+        residual poly r(0)=1 and |r(λ)| ≤ 1 on [0, b] make it
+        unconditionally non-amplifying, it needs no inner products
+        (no f32 recursion instability — the measured CG knife-edge:
+        16 steps → 20 LOBPCG iterations, 17 → 67 at ε=30), and it is
+        reduction-free (TPU-friendly)."""
+        a, b = self.cheby_bounds()
+        if steps is None:
+            steps = self.cheby_steps()
+        if lsolve is None:
+            lsolve = self.fastdiag_L().solver([("L", 1.0)], k,
+                                              method="eigh")
+        rhs = self.apply_GkH(self.apply_M(u, k), k)
+        theta = 0.5 * (b + a)
+        delta = max(0.5 * (b - a), 1e-12 * theta)
+        sigma = theta / delta
+        rho0 = 1.0 / sigma
+        d0 = lsolve(rhs) * (1.0 / theta)
+
+        def body(i, st):
+            x, r, d, rho = st
+            x = x + d
+            r = r - self.apply_Lk(d, k)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * lsolve(r)
+            return x, r, d, rho_new
+
+        x, r, d, _ = jax.lax.fori_loop(
+            0, steps - 1, body,
+            (jnp.zeros_like(rhs), rhs, d0,
+             jnp.asarray(rho0, self.rdtype)))
+        return self.apply_Gk(x + d, k)
 
     def project_out_gradients(self, u: jax.Array, k: jax.Array,
                               cg_iters: int = 25,
@@ -885,7 +1005,7 @@ class BlochCurlCurl:
                       fd_shift: float | None = None,
                       scale_floor: float | None = None,
                       engine: str = "field",
-                      proj_method: str = "qr") -> Callable:
+                      proj_method: str = "chol") -> Callable:
         """Solve hook for BandSweep: LOBPCG on the gradient-shifted
         operator Ã = A + σ·M P (P = gradient projector).
 
@@ -902,10 +1022,12 @@ class BlochCurlCurl:
         (σ-shift with the direct twisted-DFT solve), "project"
         (per-iteration (I−P) projection with the exact fast-diagonal
         projector — NO σ term; production default for element-invariant
-        coefficients), or "project-cg" (per-iteration projection with
-        the TRUE-L PCG projector — NO σ term; the varying-ε production
-        default, see the branch comment for why inexact-but-contracting
-        is safe while the mean-twin direct solve is not). Why "project"
+        coefficients), "project-cheby" (per-iteration projection with
+        the TRUE-L preconditioned-Chebyshev projector — NO σ term; the
+        varying-ε production default: inexact-but-contracting is safe
+        because the output lives in range(G), while the mean-twin
+        direct solve amplifies), or "project-cg" (CG variant, kept for
+        comparison — knife-edge in f32). Why "project"
         beats the shift in f32: P carries absolute noise ~ε/√w₀ from
         the f32 rhs; the shift formulation injects σ·(that noise) into
         every operator apply (measured: an 87-iteration near-Γ crawl at
@@ -934,7 +1056,8 @@ class BlochCurlCurl:
         defl = deflation or ("gmg" if deflation_gmg else "cg")
         if defl == "gmg":
             self.qp_gmg()  # build hierarchy eagerly (host setup)
-        if defl in ("fastdiag", "project", "cg"):
+        if defl in ("fastdiag", "project", "project-cg",
+                    "project-cheby", "cg"):
             self.fastdiag_L()  # host stencil extraction, cached
         if precond in ("fastdiag", "fastdiag-cg"):
             self.fastdiag()
@@ -947,17 +1070,27 @@ class BlochCurlCurl:
                 def proj(u):
                     rhs = op.apply_GkH(op.apply_M(u, k), k)
                     return op.apply_Gk(lsolve(rhs), k)
+            elif defl == "project-cheby":
+                # Varying-ε PRODUCTION projection: preconditioned
+                # Chebyshev on the true L (gradient_component_cheby
+                # docstring for why this beats CG here). Unlike the
+                # mean-TWIN direct projector (error operator
+                # I − L̃⁻¹L with eigenvalues up to contrast−1 ⇒ kernel
+                # AMPLIFICATION, the measured round-2 stall), the
+                # Chebyshev polynomial on the rigorous twin bounds
+                # contracts the kernel unconditionally, and its output
+                # lives in range(G), so it can only ever move the
+                # gradient component — per-iteration X/P deflation is
+                # safe at any contrast.
+                lpc = op.fastdiag_L().solver([("L", 1.0)], k,
+                                             method="eigh")
+                proj = partial(op.gradient_component_cheby, k=k,
+                               lsolve=lpc)
             elif defl == "project-cg":
-                # Varying-ε per-iteration projection: PCG on the TRUE
-                # L = GᴴM_εG, preconditioned by the mean-ε fast-diagonal
-                # solve. Unlike the mean-TWIN direct projector (whose
-                # error operator I − L̃⁻¹L has eigenvalues up to
-                # contrast−1 ⇒ kernel AMPLIFICATION, the measured
-                # round-2 stall), PCG on the true L contracts
-                # monotonically in the L-norm at a contrast-bounded
-                # rate, and its output lives in range(G), so it can
-                # only ever move the gradient component — per-iteration
-                # X/P deflation is safe at any contrast.
+                # CG variant of the above (kept for comparison; the
+                # Chebyshev projector is the production default — CG's
+                # data-dependent recursion is knife-edge in f32, see
+                # gradient_component).
                 lpc = op.fastdiag_L().solver([("L", 1.0)], k,
                                              method="eigh")
                 proj = partial(op.gradient_component, k=k,
@@ -981,7 +1114,7 @@ class BlochCurlCurl:
             else:
                 pc = precond_in
 
-            if defl in ("project", "project-cg"):
+            if defl in ("project", "project-cg", "project-cheby"):
                 pc_proj = ((lambda R: (lambda z: z - proj(z))(pc(R)))
                            if pc is not None else
                            (lambda R: R - proj(R)))
@@ -1070,7 +1203,41 @@ class BlochCurlCurl:
             def bmv(T, x):
                 return jnp.einsum("bij,bj->bi", T, x)
 
-            if proj_method == "qr":
+            if proj_method == "chol":
+                # Direct Cholesky of L = ĜᴴM̂Ĝ (Dh1×Dh1) — 3× cheaper
+                # to build than the Cholesky-QR route (measured 13 vs
+                # 42 ms at n=8 p=4: one chol(64) instead of chol(192) +
+                # QR(192×64)). Forming L squares κ(W), but κ(W) ≈ 60 at
+                # the standard 2e-2 Γ-nudge — far below the 1/√eps_f32
+                # ≈ 4000 where Cholesky-QR starts to matter. A relative
+                # δ-regularization keeps f32 chol stable through the
+                # near-singular nudged-Γ block (resolves w/w̄ ≥ ~2e-7);
+                # directions at/below δ (the exact-Γ harmonic) are
+                # zeroed via the same huge-diagonal trick as the QR
+                # guard rather than amplified by 1/δ.
+                import jax.scipy.linalg as jsl
+                Lb = TGH @ (TM @ TG)                # (B, Dh1, Dh1)
+                trm = jnp.real(jnp.trace(Lb, axis1=-2, axis2=-1)
+                               ) / Lb.shape[-1]
+                delta = (1e-7 * trm).astype(self.rdtype)
+                Lreg = Lb + delta[:, None, None] * jnp.eye(
+                    Lb.shape[-1], dtype=Lb.dtype)
+                Rl = jnp.linalg.cholesky(Lreg)      # lower
+                dg = jnp.real(jnp.diagonal(Rl, axis1=-2, axis2=-1))
+                big = jnp.max(dg) / jnp.asarray(
+                    jnp.finfo(self.rdtype).eps, self.rdtype)
+                tiny = (dg * dg) < (2.0 * delta)[:, None]
+                Rl = Rl + ((tiny * big).astype(Rl.dtype)[..., None]
+                           * jnp.eye(Rl.shape[-1], dtype=Rl.dtype))
+
+                def proj(x):
+                    r = bmv(TGH, bmv(TM, x))
+                    z = jsl.solve_triangular(Rl, r[..., None],
+                                             lower=True)
+                    phi = jsl.solve_triangular(Rl, z, lower=True,
+                                               trans='C')
+                    return bmv(TG, phi[..., 0])
+            elif proj_method == "qr":
                 # Cholesky-QR projector: W = chol(M̂)ᴴ Ĝ = QR gives
                 # L = ĜᴴM̂Ĝ = RᴴR, so L⁻¹ = R⁻¹R⁻ᴴ via two batched
                 # triangular solves. κ(R) = √κ(L) — numerically on par

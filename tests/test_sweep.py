@@ -127,3 +127,17 @@ def test_warm_sharded_keep_vectors():
             r = np.linalg.norm(Av - lam * Mv)
             assert r < 1e-6 * max(abs(lam), 1.0) * np.linalg.norm(Mv), (
                 i, j, r)
+
+
+def test_warm_seg_single_device():
+    """run_warm_sharded without a mesh = vmapped warm chains on one
+    device (the latency-amortizing single-chip regime); physics must
+    match the batched reference."""
+    lat, op = _setup(n=6, p=2)
+    kp = kpath(lat, npts=10)
+    sweep = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200)
+    res = sweep.run_warm_sharded(kp.k_cart, segments=4)
+    ref = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200).run(
+        kp.k_cart)
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                               rtol=1e-9, atol=1e-9)
