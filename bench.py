@@ -170,6 +170,14 @@ def main():
         wall = res2.compile_s + res2.wall_s  # pure execution (cached)
         n_steady = kp.nk
         res.wall_s = wall  # mutable dataclass; keeps detail consistent
+    elif args.mode == "warm-seg" and first >= kp.nk:
+        # Same degenerate case for warm-seg (ADVICE r3 #2): nk <=
+        # segments means ONE launch per chain position = the compiling
+        # launch only, so wall_s stays 0 — re-run the cached program.
+        res2 = sweep.run_warm_sharded(kc, segments=args.segments)
+        wall = res2.compile_s + res2.wall_s
+        n_steady = kp.nk
+        res.wall_s = wall
     total = time.time() - t_all
     solves_per_sec = n_steady / max(wall, 1e-9)
 

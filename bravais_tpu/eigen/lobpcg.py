@@ -287,7 +287,13 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     lam_top = jnp.where(jnp.isfinite(lam_top), lam_top,
                         jnp.asarray(0.0, rdtype))
     lam = jnp.where(finite, lam, lam_top)
-    rel = jnp.minimum(rel, jnp.asarray(1e6, rdtype))
+    # jnp.minimum propagates NaN, so a diverged solve (NaN lam on a
+    # healthy row ⇒ NaN rel) needs the where form to land at the finite
+    # sentinel too — converged=False stays the failure signal
+    # (ADVICE r3 #3).
+    rel = jnp.where(jnp.isfinite(rel),
+                    jnp.minimum(rel, jnp.asarray(1e6, rdtype)),
+                    jnp.asarray(1e6, rdtype))
     return LobpcgResult(eigenvalues=lam[:nev],
                         eigenvectors=Xout.reshape(m, *dof_shape),
                         iterations=c.it,

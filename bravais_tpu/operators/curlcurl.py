@@ -1054,6 +1054,21 @@ class BlochCurlCurl:
             return self._make_spectral_solve_fn(fd_shift, sfloor,
                                                 proj_method)
         defl = deflation or ("gmg" if deflation_gmg else "cg")
+        if defl == "project" and not self._coef_elem_invariant():
+            # The "project" variant feeds the DIRECT fast-diagonal
+            # projector into LOBPCG's per-iteration X/P deflation. With
+            # varying ε that solver is only the mean-ε TWIN: its error
+            # operator I − L̃⁻¹L has eigenvalues up to contrast−1, so
+            # per-iteration use AMPLIFIES the kernel (the measured
+            # round-2 150-iteration stall at ε=13). Fail loudly instead
+            # of silently re-opening that regression (ADVICE r3 #1).
+            raise ValueError(
+                "deflation='project' requires element-translation-"
+                "invariant coefficients (its direct fast-diagonal "
+                "kernel projector is exact only then); use "
+                "deflation='project-cheby' for varying eps — the "
+                "true-L preconditioned-Chebyshev projector contracts "
+                "the kernel at any contrast")
         if defl == "gmg":
             self.qp_gmg()  # build hierarchy eagerly (host setup)
         if defl in ("fastdiag", "project", "project-cg",
@@ -1226,7 +1241,15 @@ class BlochCurlCurl:
                 dg = jnp.real(jnp.diagonal(Rl, axis1=-2, axis2=-1))
                 big = jnp.max(dg) / jnp.asarray(
                     jnp.finfo(self.rdtype).eps, self.rdtype)
-                tiny = (dg * dg) < (2.0 * delta)[:, None]
+                # Floor delta at finfo.tiny and compare with <=: a
+                # whole (near-)zero L block has trace ≈ 0 ⇒ delta ≈ 0,
+                # and a strict '<' against 2·delta could never fire —
+                # solve_triangular would then divide by a ~0 Cholesky
+                # diagonal instead of zeroing the direction (only
+                # reachable at un-nudged exact-Γ; ADVICE r3 #4).
+                dfloor = jnp.maximum(delta, jnp.asarray(
+                    jnp.finfo(self.rdtype).tiny, self.rdtype))
+                tiny = (dg * dg) <= (2.0 * dfloor)[:, None]
                 Rl = Rl + ((tiny * big).astype(Rl.dtype)[..., None]
                            * jnp.eye(Rl.shape[-1], dtype=Rl.dtype))
 
