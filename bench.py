@@ -36,9 +36,16 @@ def main():
                     help="elements per dim (0 = per-problem default)")
     ap.add_argument("--p", type=int, default=0, help="order (0 = default)")
     ap.add_argument("--nev", type=int, default=10)
+    ap.add_argument("--block", type=int, default=0,
+                    help="LOBPCG block size m (0 = nev + 6)")
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--mode", choices=["warm", "batched", "warm-seg"],
+    ap.add_argument("--mode",
+                    choices=["warm", "batched", "warm-seg", "warm-chain"],
                     default="warm")
+    ap.add_argument("--chain", type=int, default=4,
+                    help="warm-chain mode: consecutive k-points solved "
+                    "sequentially INSIDE one launch (amortizes the "
+                    "~116 ms axon launch+fetch round-trip)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="batched mode: k-points per launch (bounds "
                     "program size; 0 = all nk in one launch)")
@@ -86,7 +93,8 @@ def main():
         op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
         solve_fn = op.make_solve_fn(deflation="project-cheby",
                                     precond="fastdiag-cg")
-        sweep = BandSweep(op, nev=args.nev, block=args.nev + 6,
+        sweep = BandSweep(op, nev=args.nev,
+                          block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
                           solve_fn=solve_fn)
         metric = (f"k-point eigensolves/sec (CUB Maxwell G-X-M-R, "
@@ -94,6 +102,9 @@ def main():
                   f"{args.nev} bands, n={n} p={p}, solver tol "
                   f"{args.tol:g})")
         mmax, mult = None, None   # no analytic oracle for varying ε
+        args.engine = "field"     # detail truth: varying ε can't use
+        #                           the spectral engine (echoing the
+        #                           flag default mislabeled BENCH runs)
     elif args.problem == "maxwell":
         from bravais_tpu.operators.curlcurl import BlochCurlCurl
         from bravais_tpu.spaces.nedelec import NedelecSpace
@@ -113,7 +124,8 @@ def main():
         else:
             solve_fn = op.make_solve_fn(deflation="project",
                                         precond="fastdiag")
-        sweep = BandSweep(op, nev=args.nev, block=args.nev + 6,
+        sweep = BandSweep(op, nev=args.nev,
+                          block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
                           solve_fn=solve_fn)
         metric = (f"k-point eigensolves/sec (FCC Maxwell G-X-W-L, "
@@ -153,6 +165,8 @@ def main():
         res = sweep.run_warm(kc)
     elif args.mode == "warm-seg":
         res = sweep.run_warm_sharded(kc, segments=args.segments)
+    elif args.mode == "warm-chain":
+        res = sweep.run_warm_chain(kc, chain=args.chain)
     else:
         res = sweep.run(kc, chunk=args.chunk or None)
     # Steady-state k-points: wall_s excludes the first launch (compile);
@@ -162,6 +176,7 @@ def main():
     # the 1/1e-9 garbage rate (ADVICE r2 #4 / VERDICT r2 weak #3).
     first = (1 if args.mode == "warm" else
              args.segments if args.mode == "warm-seg" else
+             args.chain if args.mode == "warm-chain" else
              (args.chunk or kp.nk))
     n_steady = max(kp.nk - first, 1)
     wall = res.wall_s
@@ -170,11 +185,13 @@ def main():
         wall = res2.compile_s + res2.wall_s  # pure execution (cached)
         n_steady = kp.nk
         res.wall_s = wall  # mutable dataclass; keeps detail consistent
-    elif args.mode == "warm-seg" and first >= kp.nk:
-        # Same degenerate case for warm-seg (ADVICE r3 #2): nk <=
-        # segments means ONE launch per chain position = the compiling
-        # launch only, so wall_s stays 0 — re-run the cached program.
-        res2 = sweep.run_warm_sharded(kc, segments=args.segments)
+    elif args.mode in ("warm-seg", "warm-chain") and first >= kp.nk:
+        # Same degenerate case for warm-seg/warm-chain (ADVICE r3 #2):
+        # nk <= segments/chain means the ONLY launch is the compiling
+        # one, so wall_s stays 0 — re-run the cached program.
+        res2 = (sweep.run_warm_sharded(kc, segments=args.segments)
+                if args.mode == "warm-seg"
+                else sweep.run_warm_chain(kc, chain=args.chain))
         wall = res2.compile_s + res2.wall_s
         n_steady = kp.nk
         res.wall_s = wall
@@ -216,6 +233,11 @@ def main():
         if args.mode == "warm" and sweep._jit_single is not None:
             compiled = (sweep._jit_single
                         .lower(X0, jnp.asarray(kc[0])).compile())
+        elif args.mode == "warm-chain" and sweep._jit_chain is not None:
+            per_launch = min(args.chain, kp.nk)
+            compiled = (sweep._jit_chain
+                        .lower(X0, jnp.asarray(kc[:per_launch]))
+                        .compile())
         elif args.mode == "warm-seg" and sweep._jit_seg is not None:
             per_launch = args.segments
             X0s = jnp.asarray(np.broadcast_to(

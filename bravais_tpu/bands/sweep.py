@@ -83,6 +83,7 @@ class BandSweep:
         self._jit_batched = None
         self._jit_single = None
         self._jit_seg = None
+        self._jit_chain = None
         # Precision plan (SURVEY.md §7.0): in f32, converge residuals to
         # ~1e-5 on device, then one host f64 Rayleigh–Ritz recovers
         # eigenvalue accuracy ≪1e-6 (residual² error). ``tol`` below the
@@ -107,11 +108,12 @@ class BandSweep:
         engine) enabling the fast exact f64 refine (spectral_refine_np)."""
         return bool(getattr(self._solve_fn, "provides_support", False))
 
-    def _solve(self, X0_reim, k):
+    def _solve(self, X0_reim, k, pc=None):
         X0 = from_reim(X0_reim)
         if self._solve_fn is not None:
+            kw = {} if pc is None else {"pc": pc}
             r = self._solve_fn(self.op, X0, k, self.nev, self.tol,
-                               self.maxiter, self._make_precond(k))
+                               self.maxiter, self._make_precond(k), **kw)
             if self._has_support:
                 r, support = r
                 return (r.eigenvalues, r.iterations, r.residual_norms,
@@ -145,6 +147,12 @@ class BandSweep:
             if lam.size == lam_d.size and np.all(
                     np.abs(lam - lam_d) / sc < 3e-2):
                 return lam, res
+        if out[3] is None:
+            # Chain mode with support-only outputs: the eigenvector
+            # block never left the device, so the all-dof fallback is
+            # unavailable — keep the (residual-certified) device values
+            # rather than trust a refine whose cross-check failed.
+            return None
         return host_rayleigh_ritz(self.op, np.asarray(out[3]), k,
                                   self.nev)
 
@@ -309,6 +317,120 @@ class BandSweep:
                            eigenvectors=(np.asarray(vecs)
                                          if vecs is not None else None))
 
+    # -- latency mode with in-launch chaining --------------------------------
+
+    def run_warm_chain(self, k_cart: np.ndarray, chain: int = 4,
+                       writer=None,
+                       k_index: Optional[np.ndarray] = None,
+                       reuse_precond: bool = True) -> SweepResult:
+        """Warm sweep with ``chain`` consecutive k-points solved
+        SEQUENTIALLY inside one launch (lax.scan carrying the
+        eigenvector block on device). Same warm-start iteration counts
+        and same per-solve working set as :meth:`run_warm` — but 1/chain
+        the launches. Measured motivation (round 4, axon): one
+        launch+fetch cycle of even a TRIVIAL jitted function costs
+        ~116 ms of tunnel round-trips, which the per-k warm loop pays on
+        top of the ~220 ms device solve (328 ms/k observed vs 218
+        device). Unlike ``run_warm_sharded`` (vmap across independent
+        chains — S× the spectral engine's (B, D, D) setup arrays, which
+        measured HBM-bound and SLOWER single-chip), sequential in-launch
+        chaining adds NO working-set memory."""
+        sp = self.op.space
+        rdtype = np.dtype(self.op.rdtype)
+        k_cart = np.asarray(k_cart, rdtype)
+        nk, d = k_cart.shape
+        chain = max(1, min(chain, nk))
+        npad = ((nk + chain - 1) // chain) * chain - nk
+        kp_ = np.concatenate([k_cart, np.repeat(k_cart[-1:], npad,
+                                                axis=0)])
+        need_X = self.keep_vectors or not (
+            self.refine and self._has_support)
+
+        if self._jit_chain is None:
+            build_pc = (getattr(self._solve_fn, "build_pc", None)
+                        if reuse_precond else None)
+
+            def chain_fn(X0, ks):
+                # Preconditioner built ONCE per launch at the chain's
+                # middle k and reused for all `chain` solves (staleness
+                # ≤ chain/2 k-steps costs at most a few iterations; the
+                # build is ~43 ms of the ~190 ms per-k device solve at
+                # the headline size). The per-k projector stays exact.
+                pc = (build_pc(self.op, ks[chain // 2])
+                      if build_pc is not None else None)
+
+                def step(X, k):
+                    out = self._solve(X, k, pc=pc)
+                    ys = ((out[0], out[1], out[2])
+                          + ((out[3],) if need_X else ())
+                          + ((out[4],) if len(out) > 4 else ()))
+                    return out[3], ys
+                Xl, ys = jax.lax.scan(step, X0, ks)
+                return (Xl,) + ys
+            self._jit_chain = jax.jit(chain_fn)
+
+        X0 = jnp.asarray(self._x0_np(
+            getattr(sp, "field_shape", sp.dof_shape), rdtype))
+        lams, itss, ress, vecs = [], [], [], ([] if self.keep_vectors
+                                              else None)
+        t_start = time.time()
+        compile_s = 0.0
+        nlaunch = (nk + npad) // chain
+        out = self._jit_chain(X0, jnp.asarray(kp_[:chain]))
+        for li in range(nlaunch):
+            s0 = li * chain
+            # Queue this launch's d2h first, then dispatch the next
+            # launch (stream executes in order — axon pipeline rule),
+            # then process/refine while the device runs ahead.
+            if li + 1 < nlaunch:
+                for o in out[1:]:
+                    try:
+                        o.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        break
+                out_next = self._jit_chain(
+                    out[0], jnp.asarray(kp_[s0 + chain:s0 + 2 * chain]))
+            lam = np.array(out[1])           # (chain, m) — blocks
+            its = np.asarray(out[2])
+            res = np.array(out[3])
+            Xs = np.asarray(out[4]) if need_X else None
+            sup = (np.asarray(out[-1])
+                   if len(out) > (4 + int(need_X)) else None)
+            if li == 0:
+                compile_s = time.time() - t_start
+            for j in range(chain):
+                gi = s0 + j
+                if gi >= nk:
+                    continue
+                lj, rj = lam[j], res[j]
+                if self.refine:
+                    outj = (lam[j], None, None,
+                            Xs[j] if Xs is not None else None) + (
+                                (sup[j],) if sup is not None else ())
+                    ref = self._refine_host(outj, kp_[gi])
+                    if ref is not None:
+                        lj = lj.copy()
+                        rj = rj.copy()
+                        lj[:self.nev], rj[:self.nev] = ref
+                lams.append(lj)
+                itss.append(int(its[j]))
+                ress.append(rj)
+                if vecs is not None:
+                    vecs.append(Xs[j][:, :self.nev])
+                if writer is not None:
+                    go = int(k_index[gi]) if k_index is not None else gi
+                    writer.write_chunk([go], lj[None, :self.nev], [its[j]],
+                                       rj[None, :self.nev])
+            if li + 1 < nlaunch:
+                out = out_next
+        wall = time.time() - t_start - compile_s
+        return SweepResult(np.asarray(lams)[:, :self.nev],
+                           np.asarray(itss, np.int32),
+                           np.asarray(ress)[:, :self.nev], wall_s=wall,
+                           compile_s=compile_s,
+                           eigenvectors=(np.asarray(vecs)
+                                         if vecs is not None else None))
+
     # -- combined regime: warm within segments, sharded across them ---------
 
     def run_warm_sharded(self, k_cart: np.ndarray, mesh=None, writer=None,
@@ -322,11 +444,16 @@ class BandSweep:
         keeping the warm-start iteration savings within each segment.
 
         ``segments`` defaults to the device count of ``mesh`` (or 4
-        single-device). Even on ONE chip, multiple vmapped segments pay:
-        the per-k dense setup (blocks/Cholesky) and the per-iteration
-        small eigensolves are latency-bound at batch 1, so batching S
-        solves costs far less than S× (measured round 3: 4 segments =
-        1.5× the headline warm throughput on one v5e chip)."""
+        single-device). MEASURED single-chip reality (round 4, n=8 p=4
+        headline): segment-batching does NOT pay on one chip — 4
+        segments run at 0.64× the warm throughput (1.77 vs 2.78
+        eigensolves/s) and 16 segments OOM at 21 GB: the spectral
+        engine's per-segment (B, D, D) block setup scales linearly in
+        S and turns the program HBM-bandwidth-bound (a round-3
+        docstring claimed 1.5×; the recorded round-4 A/B refutes it).
+        The mode's value is MULTI-CHIP: one segment per device keeps
+        warm-start iteration counts while the segment axis rides the
+        mesh."""
         sp = self.op.space
         rdtype = np.dtype(self.op.rdtype)
         k_cart = np.asarray(k_cart, rdtype)

@@ -88,12 +88,98 @@ def _whiten(G, eps):
     return V * inv[None, :], good
 
 
+def _whiten_chol(G, eps):
+    """Cholesky-based whitening — same contract as :func:`_whiten`
+    (C with CᴴGC ≈ I on the well-conditioned subspace + good mask),
+    at a fraction of the TPU latency: one n×n Cholesky + triangular
+    inverse replaces the Jacobi eigendecomposition, halving the
+    serialized small-eigh count per LOBPCG iteration (round-4 item:
+    the measured 26 ms/iteration floor at m=16 was two 48×48 Jacobi
+    eighs back to back; the Ritz eigh is irreducible, this one is not).
+
+    δ-regularized: chol(G + δI) with δ = eps·max(diag) matches the
+    DSY drop threshold semantics — directions whose Gram eigenvalue
+    is ≤ δ come out damped by w/(w+δ) instead of exactly dropped, and
+    are flagged via the whitened M-norm diag(CᴴGC) = 1 − δ‖C[:,i]‖²
+    < 1/2. An indefinite-by-roundoff Gram (negative pivot) NaN-poisons
+    every Cholesky row from the first bad pivot on; those rows are
+    rebuilt as huge decoupled diagonals, which zeroes them in the
+    inverse and drops the directions — S is ordered [X | W | P] with
+    the M-orthonormal X block first, so a bad pivot can only cost
+    directions in the W/P tail for one iteration."""
+    import jax.scipy.linalg as jsl
+    G = _hermitize(G)
+    rdtype = jnp.finfo(G.dtype).dtype
+    n = G.shape[-1]
+    dmax = jnp.maximum(jnp.max(jnp.real(jnp.diagonal(G))),
+                       jnp.asarray(jnp.finfo(rdtype).tiny, rdtype))
+    # δ must sit WELL above the Cholesky pivot-cancellation noise
+    # (~eps·(n + √N)·dmax — same order as the eigh drop threshold
+    # 50·eps·dmax): a pure-noise direction whose pivot lands at 2–3×
+    # the noise floor would pass the mnorm keep test with O(1/√δ)
+    # amplification and inject a garbage Ritz value (measured: λ=-182
+    # on a ‖A‖≈70 pencil after over-iteration in f32). 20× the eigh
+    # threshold gives a robust margin; the more aggressive dropping is
+    # harmless (DSY orthogonalization tolerances up to √eps still
+    # converge — dropped directions return as fresh W next iteration).
+    delta = 20.0 * eps * dmax
+    eye = jnp.eye(n, dtype=G.dtype)
+    L = jnp.linalg.cholesky(G + delta * eye)
+    finite_row = jnp.all(jnp.isfinite(
+        jnp.stack([jnp.real(L), jnp.imag(L)])), axis=(0, 2))
+    big = (dmax / jnp.asarray(jnp.finfo(rdtype).eps, rdtype))
+    L = jnp.where(finite_row[:, None], L, 0.0)
+    L = L + jnp.diag(jnp.logical_not(finite_row).astype(rdtype)
+                     * big).astype(G.dtype)
+    Cm = jsl.solve_triangular(L, eye, lower=True)      # L^{-1}
+    # C = L^{-H}: CᴴGC = I − δ·CmCmᴴ; column norms of C = row norms
+    # of Cm, so the damped/dropped test is one cheap row reduction.
+    mnorm = 1.0 - delta * jnp.sum(jnp.abs(Cm) ** 2, axis=1)
+    good = jnp.logical_and(mnorm > 0.5, finite_row)
+    # Match _whiten's contract exactly: dropped directions become ZERO
+    # columns. Without this their ~1/√δ-scaled entries contaminate H
+    # (entries ~‖A‖/δ), and the Jacobi RR loses the small Ritz values
+    # on the wildly-scaled matrix (measured: total collapse on a
+    # rank-deficient block in f64).
+    Cm = Cm * good[:, None].astype(Cm.dtype)
+    # CholeskyQR2 second pass. One pass is NOT enough under
+    # over-iteration: Cholesky's backward error is normwise, so a
+    # near-dependent direction's pivot carries absolute noise
+    # ~eps·n·dmax — a pure-noise direction can pass the mnorm test
+    # with O(1/√δ) amplification and inject Ritz garbage (measured:
+    # λ drifting to -25 on a ‖A‖≈70 f32 pencil past convergence;
+    # jacobi_eigh whitening is immune via Demmel–Veselić relative
+    # accuracy). Re-measuring the whitened Gram G₂ = CᴴGC from the
+    # ORIGINAL G re-tests every kept direction against the truth:
+    # genuine directions give diag ≈ 1 and a clean second factor;
+    # amplified noise gives diag ≈ 0 ± (noise/δ) ≪ 1/2 (or a NaN
+    # row) and is dropped. κ(G₂) ≈ 1, so the second factor also
+    # restores orthonormality to O(eps) — the CholQR2 property.
+    G2 = Cm @ G @ jnp.conj(Cm).T
+    d2 = jnp.real(jnp.diagonal(G2))
+    good = jnp.logical_and(good, d2 > 0.5)
+    gm = good.astype(rdtype)
+    G2 = (G2 * (gm[:, None] * gm[None, :]).astype(G2.dtype)
+          + jnp.diag(1.0 - gm).astype(G2.dtype))
+    L2 = jnp.linalg.cholesky(_hermitize(G2))
+    fin2 = jnp.all(jnp.isfinite(
+        jnp.stack([jnp.real(L2), jnp.imag(L2)])), axis=(0, 2))
+    good = jnp.logical_and(good, fin2)
+    L2 = jnp.where(fin2[:, None], L2, 0.0)
+    L2 = L2 + jnp.diag(jnp.logical_not(fin2).astype(rdtype)
+                       * big).astype(G.dtype)
+    Cm2 = jsl.solve_triangular(L2, eye, lower=True) @ Cm
+    Cm2 = Cm2 * good[:, None].astype(Cm2.dtype)
+    return jnp.conj(Cm2).T, good
+
+
 def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
            maxiter: int = 200, tol: float = 1e-6,
            precond: Optional[Callable] = None,
            AM: Optional[Callable] = None,
            scale_floor: float = 3e-2,
-           kernel_project: Optional[Callable] = None) -> LobpcgResult:
+           kernel_project: Optional[Callable] = None,
+           rr_method: str = "chol") -> LobpcgResult:
     """LOBPCG on the Hermitian pencil (A, M) — see module docstring.
 
     ``X0``: (m, *dof_shape) complex initial block, m >= nev. ``M=None``
@@ -105,6 +191,10 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     host Rayleigh–Ritz refine) may relax it (e.g. 0.3 in f32).
     Traced end-to-end (lax.while_loop): jit/vmap/shard_map-safe; under
     vmap the loop runs until every batch element converges.
+
+    ``rr_method``: "chol" (default — Cholesky whitening of the S-basis
+    Gram, half the per-iteration small-eigh latency) or "eigh" (the
+    DSY eigendecomposition whitening; exact rank-revealing drop).
     """
     dof_shape = X0.shape[1:]
     m = X0.shape[0]
@@ -199,7 +289,8 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         AS = jnp.concatenate([AX, AW, AP], axis=0)
         MS = jnp.concatenate([MX, MW, MP], axis=0)
 
-        C, good = _whiten(gram(S, MS), eps)             # (3m, 3m)
+        whiten = _whiten_chol if rr_method == "chol" else _whiten
+        C, good = whiten(gram(S, MS), eps)              # (3m, 3m)
         H = _hermitize(jnp.conj(C.T) @ gram(S, AS) @ C)
         # Dropped directions: push their Ritz values above the spectrum,
         # but only moderately — a Gershgorin bound keeps the matrix scale
@@ -218,7 +309,18 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
             Xn, MXn = Xn - Kx, MXn - Mf(Kx)
             Pn, MPn = Pn - Kp_, MPn - Mf(Kp_)
 
-        done = jnp.all(conv[:nev])
+        # done must be RANK-AWARE: test the nev LOWEST healthy Ritz
+        # rows, not rows [:nev]. Row order is ascending only after an
+        # RR update — on a warm start (previous k's sort) or when an
+        # easy problem converges rows to higher eigenvectors first,
+        # rows [:nev] can all be converged WITHOUT being the lowest
+        # bands, and the rank-blind test exited after 1 iteration with
+        # the true band unconverged in a guard row (measured: band-1
+        # residual 4e-4 and eigenvalue error 1.6e-6 at the SQR X point
+        # under warm start — round-4 bug fix).
+        lam_eff = jnp.where(xnorm > 0.5, lam, jnp.inf)
+        low = jnp.argsort(lam_eff)[:nev]
+        done = jnp.all(rel[low] < tol)
         return _Carry(X=Xn, AX=AXn, MX=MXn, P=Pn, AP=APn, MP=MPn,
                       res=rel, it=c.it + 1, done=done)
 
@@ -228,7 +330,12 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     # otherwise turn the Rayleigh–Ritz matrix indefinite on hard
     # (degenerate-cluster) problems. An outer while_loop keeps this
     # vmap-safe (a lax.cond would compute both branches under vmap).
-    seg = 64
+    # seg=16 (was 64): the Cholesky whitening trusts the measured MS
+    # Gram, and 64 recombinations of f32 drift were measured to feed it
+    # garbage (λ drifting below λmin(A) past convergence); at 16 both
+    # whitening methods are stable and the refresh overhead (2 fused
+    # applies per 16 iterations) is ~12%.
+    seg = 16
 
     def seg_cond(c: _Carry):
         return jnp.logical_and(c.it < maxiter, jnp.logical_not(c.done))

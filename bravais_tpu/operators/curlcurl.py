@@ -714,7 +714,15 @@ class BlochCurlCurl:
         import scipy.linalg
 
         fd = self.fastdiag_G()
-        idx = fd.candidate_blocks(support, topk, tau)
+        # Candidate blocks from the nev+2 LOWEST rows only (rows are
+        # sorted ascending): the upper guard rows spread support over
+        # blocks that refine eigenvalues we discard (measured 9 → 5
+        # candidate blocks at m=16/nev=10 — the refine is per-k
+        # critical-path host work). +2 covers a near-degenerate swap at
+        # the nev boundary; the device-vs-refine cross-check in
+        # BandSweep._refine_host backstops a missed block.
+        nrows = min(nev + 2, support.shape[0])
+        idx = fd.candidate_blocks(support[:nrows], topk, tau)
         k = np.asarray(k, np.float64)
         TA = fd.blocks_np([("A", 1.0)], k, idx)
         TM = fd.blocks_np([("M", 1.0)], k, idx)
@@ -1194,7 +1202,26 @@ class BlochCurlCurl:
                 "invariant coefficients; use the field engine")
         self.fastdiag_G()  # host stencil extraction (A, M, G), cached
 
-        def solve(op, X0, k, nev, tol, maxiter, precond_in):
+        def build_pc(op, k):
+            """(A+sM)⁻¹ preconditioner blocks at k — the ~43 ms piece of
+            per-k setup (blocks + batched Cholesky + triangular
+            inverse). Exposed separately so chain launches can build it
+            ONCE per launch (at the middle k of the chain) and reuse it
+            across the chain's solves: it is only a preconditioner, so
+            a few-k staleness costs at most a few extra iterations
+            while saving the build at every other k."""
+            fd = op.fastdiag_G()
+            s_ = float(fd_shift if fd_shift is not None
+                       else op.default_fd_shift())
+            import jax.scipy.linalg as _jsl
+            Tsh = fd.blocks([("A", 1.0), ("M", s_)], k)
+            Lc = jnp.linalg.cholesky(Tsh)
+            eyeD = jnp.broadcast_to(
+                jnp.eye(Tsh.shape[-1], dtype=Tsh.dtype), Tsh.shape)
+            Yc = _jsl.solve_triangular(Lc, eyeD, lower=True)
+            return jnp.conj(jnp.swapaxes(Yc, -1, -2)) @ Yc
+
+        def solve(op, X0, k, nev, tol, maxiter, precond_in, pc=None):
             fd = op.fastdiag_G()
             theta = fd._theta(k)
             F = fd._fwd_mats(theta)
@@ -1202,18 +1229,11 @@ class BlochCurlCurl:
             TM = fd.blocks([("M", 1.0)], k)
             TG = fd.blocks([("G", 1.0)], k)          # (B, Dnd, Dh1)
             TGH = jnp.conj(jnp.swapaxes(TG, -1, -2))
-            s_ = float(fd_shift if fd_shift is not None
-                       else op.default_fd_shift())
             # (A+sM)⁻¹ via Cholesky (HPD): half the LU-inverse cost on
             # TPU (measured 49 vs 110 ms at n=8 p=4); preconditioner-
-            # level accuracy is all that's needed.
-            import jax.scipy.linalg as _jsl
-            Tsh = TA + s_ * TM
-            Lc = jnp.linalg.cholesky(Tsh)
-            eyeD = jnp.broadcast_to(
-                jnp.eye(Tsh.shape[-1], dtype=Tsh.dtype), Tsh.shape)
-            Yc = _jsl.solve_triangular(Lc, eyeD, lower=True)
-            Tpc = jnp.conj(jnp.swapaxes(Yc, -1, -2)) @ Yc
+            # level accuracy is all that's needed. ``pc``: a prebuilt
+            # (possibly neighboring-k) block inverse from build_pc.
+            Tpc = build_pc(op, k) if pc is None else pc
 
             def bmv(T, x):
                 return jnp.einsum("bij,bj->bi", T, x)
@@ -1319,6 +1339,7 @@ class BlochCurlCurl:
 
         solve.provides_support = True
         solve.refine_np = self.spectral_refine_np
+        solve.build_pc = build_pc
         return solve
 
     # ------------------------------------------------------------------

@@ -348,7 +348,17 @@ class FastDiag:
         if idx is not None:
             w = w[:, np.asarray(idx, np.int64)]
         S = sum(float(c) * self.stencils[nm] for nm, c in terms)
-        return np.einsum("sb,sij->bij", w, S)
+        Sf = S.reshape(S.shape[0], -1)
+        if np.isrealobj(Sf):
+            # Stencils are REAL f64: two real dgemms instead of the
+            # complex×real einsum (measured 85 ms → ~5 ms at 9 blocks,
+            # n=8 p=4 — this call sat on the per-k critical path of the
+            # host refine, which bounds every sweep mode's throughput).
+            T = (np.ascontiguousarray(w.real.T) @ Sf
+                 + 1j * (np.ascontiguousarray(w.imag.T) @ Sf))
+        else:
+            T = w.T @ Sf
+        return T.reshape(w.shape[1], S.shape[1], S.shape[2])
 
     def candidate_blocks(self, support: np.ndarray, topk: int = 4,
                          tau: float = 1e-5) -> np.ndarray:

@@ -141,3 +141,74 @@ def test_warm_seg_single_device():
         kp.k_cart)
     np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
                                rtol=1e-9, atol=1e-9)
+
+
+def test_warm_chain_matches_batched():
+    """run_warm_chain (sequential in-launch chaining — the launch-
+    overhead-amortizing single-chip regime, round 4) must match the
+    batched reference, including the ragged final chain."""
+    lat, op = _setup(n=6, p=2)
+    kp = kpath(lat, npts=10)  # 10 % 4 != 0 -> exercises padding
+    sweep = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200)
+    res = sweep.run_warm_chain(kp.k_cart, chain=4)
+    ref = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200).run(
+        kp.k_cart)
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                               rtol=1e-9, atol=1e-9)
+    assert res.iterations.shape == (kp.nk,)
+
+
+def test_warm_chain_keep_vectors_and_writer(tmp_path):
+    """Chain mode honors keep_vectors (modes satisfy their eigen
+    equation) and the per-k checkpoint writer."""
+    lat, op = _setup(n=6, p=2)
+    kp = kpath(lat, npts=6)
+    w = BandWriter(tmp_path / "run", nev=2, nk=kp.nk, config={"t": 1})
+    sweep = BandSweep(op, nev=2, block=6, tol=1e-9, maxiter=200,
+                      keep_vectors=True)
+    res = sweep.run_warm_chain(kp.k_cart, chain=3, writer=w)
+    assert res.eigenvectors is not None
+    assert res.eigenvectors.shape[:3] == (kp.nk, 2, 2)
+    for i in range(0, kp.nk, 2):
+        k = jnp.asarray(kp.k_cart[i])
+        v = res.eigenvectors[i][0] + 1j * res.eigenvectors[i][1]
+        for j in range(2):
+            x = jnp.asarray(v[j])
+            Av = np.asarray(op.apply_A(x, k))
+            Mv = np.asarray(op.apply_M(x))
+            lam = res.eigenvalues[i, j]
+            r = np.linalg.norm(Av - lam * Mv)
+            assert r < 1e-6 * max(abs(lam), 1.0) * np.linalg.norm(Mv), (
+                i, j, r)
+    assert sorted(w.finished) == list(range(kp.nk))
+    np.testing.assert_allclose(w.eigenvalues, res.eigenvalues,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_warm_chain_spectral_pc_reuse():
+    """Chain mode with the spectral engine reuses one per-launch
+    preconditioner (built at the chain's middle k). Physics must match
+    the per-k warm reference — the preconditioner only affects the
+    iteration path, never the converged eigenvalues."""
+    import jax.numpy as jnp
+
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lat = make_lattice("FCC")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
+    op = BlochCurlCurl(sp, dtype=jnp.complex128)
+    kp = kpath(lat, npts=6, path=[["G", "X", "W"]])
+    kc = kp.k_cart.copy()
+    for i in range(kc.shape[0]):
+        if np.linalg.norm(kc[i]) < 1e-12:
+            kc[i] = 2e-2 * lat.B[0]
+
+    def mk():
+        return BandSweep(op, nev=4, block=8, tol=1e-8, maxiter=200,
+                         solve_fn=op.make_solve_fn(engine="spectral"))
+
+    res = mk().run_warm_chain(kc, chain=3, reuse_precond=True)
+    ref = mk().run_warm(kc)
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                               rtol=1e-8, atol=1e-10)
