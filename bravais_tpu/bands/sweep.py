@@ -71,7 +71,8 @@ class BandSweep:
                  precond="jacobi", seed: int = 0,
                  solve_fn: Optional[Callable] = None,
                  refine: Optional[bool] = None,
-                 keep_vectors: bool = False):
+                 keep_vectors: bool = False,
+                 device_tol: Optional[float] = None):
         self.keep_vectors = keep_vectors
         self.op = operator
         self.nev = nev
@@ -92,6 +93,18 @@ class BandSweep:
         self.refine = refine if refine is not None else (
             is_f32 and tol < 1e-4)
         self.tol = max(tol, 1e-5) if (is_f32 and self.refine) else tol
+        # ``device_tol``: explicit device-loop stopping residual when the
+        # f64 refine is active. The SPECTRAL engine's refine is an exact
+        # invariant-subspace eigensolve whose accuracy does NOT depend
+        # on the device residual — the device loop only has to identify
+        # the support blocks (rough convergence suffices) and the
+        # device-vs-refine cross-check + f64 residual certificate guard
+        # the result. Looser device stops directly cut iterations/k.
+        # Spectral engine only (``provides_support``): the field-engine
+        # refine is a Rayleigh–Ritz over the DEVICE vectors, whose
+        # accuracy degrades with a loose device stop.
+        if device_tol is not None and self.refine and self._has_support:
+            self.tol = device_tol
 
     # -- single-k solve (real-valued boundary) ------------------------------
 
@@ -322,7 +335,7 @@ class BandSweep:
     def run_warm_chain(self, k_cart: np.ndarray, chain: int = 4,
                        writer=None,
                        k_index: Optional[np.ndarray] = None,
-                       reuse_precond: bool = True) -> SweepResult:
+                       reuse_precond: bool = False) -> SweepResult:
         """Warm sweep with ``chain`` consecutive k-points solved
         SEQUENTIALLY inside one launch (lax.scan carrying the
         eigenvector block on device). Same warm-start iteration counts
