@@ -39,14 +39,18 @@ def main():
     ap.add_argument("--block", type=int, default=0,
                     help="LOBPCG block size m (0 = nev + 6)")
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--device-tol", type=float, default=0.0,
+    ap.add_argument("--device-tol", type=float, default=1e-3,
                     help="explicit DEVICE-loop stopping residual when "
-                    "the f64 refine is active (spectral engine: refine "
-                    "is an exact subspace eigensolve — the device loop "
-                    "only identifies support blocks, so a loose stop "
-                    "cuts iterations/k without losing accuracy; the "
-                    "achieved eig err is still measured and reported). "
-                    "0 = keep --tol on device")
+                    "the exact (spectral-engine) f64 refine is active: "
+                    "the refine is an exact subspace eigensolve — the "
+                    "device loop only identifies support blocks, so a "
+                    "loose stop cuts iterations/k without losing "
+                    "accuracy (measured: identical eig err at 1e-3 vs "
+                    "1e-5 device stops, 10x safety margin to the 1e-2 "
+                    "breakdown; the achieved eig err vs the analytic "
+                    "oracle is still measured and reported in detail). "
+                    "Ignored by non-spectral paths. 0 = keep --tol "
+                    "on device")
     ap.add_argument("--mode",
                     choices=["warm", "batched", "warm-seg", "warm-chain"],
                     default="warm")
