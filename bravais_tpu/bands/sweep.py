@@ -153,13 +153,16 @@ class BandSweep:
         Rayleigh–Ritz is used as fallback. Other engines: host RR."""
         rf = getattr(self._solve_fn, "refine_np", None)
         if rf is not None and len(out) > 4:
-            lam, res = rf(np.asarray(out[4]), k, self.nev)
-            lam_d = np.asarray(out[0])[:self.nev]
-            sc = np.maximum(np.abs(lam_d),
-                            3e-2 * max(float(np.abs(lam_d).max()), 1e-30))
-            if lam.size == lam_d.size and np.all(
-                    np.abs(lam - lam_d) / sc < 3e-2):
-                return lam, res
+            ref = rf(np.asarray(out[4]), k, self.nev)
+            if ref is not None:  # None: empty support (degenerate solve)
+                lam, res = ref
+                lam_d = np.asarray(out[0])[:self.nev]
+                sc = np.maximum(
+                    np.abs(lam_d),
+                    3e-2 * max(float(np.abs(lam_d).max()), 1e-30))
+                if lam.size == lam_d.size and np.all(
+                        np.abs(lam - lam_d) / sc < 3e-2):
+                    return lam, res
         if out[3] is None:
             # Chain mode with support-only outputs: the eigenvector
             # block never left the device, so the all-dof fallback is

@@ -224,6 +224,18 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
           if kernel_project is not None else None)
 
     X = X0.reshape(m, -1).astype(cdtype)
+    # Reseed degenerate warm-start rows. A previous loose or degenerate
+    # solve can hand back exactly-zero rows (whitening-dropped, sorted
+    # last) — and zero rows are ABSORBING under the LOBPCG update
+    # (R = 0 ⇒ W = 0), so without reseeding the effective block shrinks
+    # monotonically across a warm-started k-chain (measured round 4:
+    # total collapse of the scalar warm sweep from the second k on).
+    # Deterministic key: one compiled program, reproducible runs.
+    rn = jnp.linalg.norm(X, axis=1)
+    bad0 = rn < 1e-6 * jnp.max(rn)
+    fr = jax.random.normal(jax.random.PRNGKey(0x5EED),
+                           (2, m, X.shape[1]), rdtype)
+    X = jnp.where(bad0[:, None], (fr[0] + 1j * fr[1]).astype(cdtype), X)
 
     def gram(U, V):
         return jnp.conj(U) @ V.T
@@ -304,6 +316,18 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         # Implicit new P: W/P components of the update (X-block zeroed).
         Yp = Ym.at[:m, :].set(0)
         Pn, APn, MPn = Yp.T @ S, Yp.T @ AS, Yp.T @ MS
+        # Whiteout guard: if whitening dropped EVERY direction (an f32
+        # pathology on a fully-plateaued basis), the update above is
+        # identically zero — and the zero state is absorbing. Freeze the
+        # block instead; the degeneration/stagnation stops below then
+        # terminate the loop with the previous (finite) iterate.
+        ok = (jnp.sum(good.astype(jnp.int32)) > 0)
+        Xn = jnp.where(ok, Xn, X)
+        AXn = jnp.where(ok, AXn, AX)
+        MXn = jnp.where(ok, MXn, MX)
+        Pn = jnp.where(ok, Pn, c.P)
+        APn = jnp.where(ok, APn, c.AP)
+        MPn = jnp.where(ok, MPn, c.MP)
         if Kf is not None:
             Kx, Kp_ = Kf(Xn), Kf(Pn)
             Xn, MXn = Xn - Kx, MXn - Mf(Kx)
@@ -321,6 +345,15 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         lam_eff = jnp.where(xnorm > 0.5, lam, jnp.inf)
         low = jnp.argsort(lam_eff)[:nev]
         done = jnp.all(rel[low] < tol)
+        # Degeneration stop: whitening-dropped rows never revive (their
+        # residual is zero, so W contributes nothing), so once fewer
+        # than nev healthy rows remain the solve CANNOT complete —
+        # further iterations only degrade the survivors (measured
+        # round 4: grinding to the all-zero state by maxiter). Exit;
+        # the unhealthy rows surface as converged=False + the host
+        # refine fallback.
+        nhealthy = jnp.sum((xnorm > 0.5).astype(jnp.int32))
+        done = jnp.logical_or(done, nhealthy < nev)
         return _Carry(X=Xn, AX=AXn, MX=MXn, P=Pn, AP=APn, MP=MPn,
                       res=rel, it=c.it + 1, done=done)
 
@@ -345,7 +378,20 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         APn, MPn = AMf(c.P)
         c = c._replace(AX=AXn, MX=MXn, AP=APn, MP=MPn)
         it0 = c.it
-        res0 = jnp.max(c.res[:nev])
+
+        # Tracked residual: worst of the nev BEST finite rows. Raw
+        # c.res[:nev] is in unsorted row order and can contain the inf
+        # sentinel of a whitening-dropped row — then isfinite(res0) is
+        # False FOREVER and the stagnation stop is disarmed exactly on
+        # the runs that need it (measured round 4: 400-iteration grind
+        # to the absorbing zero state on a knife-edge loose stop).
+        def tracked(res):
+            big = jnp.asarray(1e6, rdtype)
+            resh = jnp.where(jnp.isfinite(res), jnp.minimum(res, big),
+                             big)
+            return jnp.max(jnp.sort(resh)[:nev])
+
+        res0 = tracked(c.res)
 
         def inner_cond(c2: _Carry):
             return jnp.logical_and(
@@ -361,9 +407,8 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         # The threshold must be lax: warm-started solves legitimately
         # crawl through <30%-per-segment plateaus mid-convergence (a
         # 0.7 threshold was measured to stop real solves at 1.6e-3).
-        res1 = jnp.max(c.res[:nev])
-        floored = jnp.logical_and(jnp.isfinite(res0),
-                                  res1 > 0.97 * res0)
+        res1 = tracked(c.res)
+        floored = res1 > 0.97 * res0
         return c._replace(done=jnp.logical_or(c.done, floored))
 
     c = jax.lax.while_loop(seg_cond, seg_body, c0)

@@ -60,6 +60,7 @@ def host_rayleigh_ritz(op, X_reim: np.ndarray, k: np.ndarray, nev: int
     C = V[:, good] / np.sqrt(w[good])
     H = C.conj().T @ GA @ C
     theta, Y = scipy.linalg.eigh(0.5 * (H + H.conj().T))
+    nev_req = nev
     nev = min(nev, theta.size)
     lam = theta[:nev]
     coeff = C @ Y[:, :nev]                      # (m, nev)
@@ -69,4 +70,12 @@ def host_rayleigh_ritz(op, X_reim: np.ndarray, k: np.ndarray, nev: int
     R = AXr - lam[:, None] * MXr
     scale = np.maximum(np.abs(lam), max(3e-2 * np.abs(lam).max(), 1e-3))
     res = np.linalg.norm(R, axis=1) / scale
+    if nev < nev_req:
+        # Rank-deficient block (degenerate device exit): keep the fixed
+        # output contract — pad with the top value and an unconverged
+        # residual sentinel (finite; res>=1e6 is the failure signal).
+        pad = nev_req - nev
+        top = lam[-1] if nev else 0.0
+        lam = np.concatenate([lam, np.full(pad, top)])
+        res = np.concatenate([res, np.full(pad, 1e6)])
     return lam, res

@@ -723,6 +723,10 @@ class BlochCurlCurl:
         # BandSweep._refine_host backstops a missed block.
         nrows = min(nev + 2, support.shape[0])
         idx = fd.candidate_blocks(support[:nrows], topk, tau)
+        if idx.size == 0:
+            # All-zero support (collapsed device block): nothing to
+            # refine — signal the caller's fallback path.
+            return None
         k = np.asarray(k, np.float64)
         TA = fd.blocks_np([("A", 1.0)], k, idx)
         TM = fd.blocks_np([("M", 1.0)], k, idx)

@@ -386,6 +386,12 @@ class FastDiag:
         import scipy.linalg
 
         idx = self.candidate_blocks(support)
+        if idx.size == 0:
+            # Degenerate device solve (all-zero support — e.g. a
+            # collapsed block): no candidates to refine. Signal the
+            # caller to use its fallback path instead of crashing on
+            # an empty concatenate.
+            return None
         k = np.asarray(k, np.float64)
         TA = self.blocks_np([("A", 1.0)], k, idx)
         TM = self.blocks_np([("M", 1.0)], k, idx)

@@ -297,3 +297,22 @@ def test_scalar_spectral_varying_coef_rejected():
         op.make_solve_fn(engine="spectral")
     fd = op.qp_fastdiag()   # mean-coefficient twin builds fine
     assert set(fd.stencils) == {"A", "M"}
+
+
+def test_spectral_refine_empty_support_returns_none():
+    """All-zero support (a degenerate/collapsed device solve) must
+    signal the caller's fallback path with None, not crash on an empty
+    concatenate (round-4 bug: ValueError inside the warm-sweep refine
+    took down the whole bench run)."""
+    from bravais_tpu.operators.helmholtz import BlochHelmholtz
+    from bravais_tpu.spaces.h1 import H1Space
+
+    op = _op(n=3, p=1)
+    sup = np.zeros((12, op.fastdiag_G().nblocks))
+    assert op.spectral_refine_np(sup, K_TEST, 4) is None
+
+    sph = H1Space.make(PeriodicGrid.make(make_lattice("SQR"), 4), 2)
+    oph = BlochHelmholtz(sph, dtype=jnp.complex128)
+    fd = oph.qp_fastdiag()
+    suph = np.zeros((8, fd.nblocks))
+    assert fd.spectral_refine_np(suph, np.array([0.3, 0.1]), 4) is None

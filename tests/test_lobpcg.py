@@ -168,3 +168,47 @@ def test_lobpcg_dropped_rows_stay_finite():
     assert np.all(np.isfinite(lam)) and np.all(np.isfinite(res))
     np.testing.assert_allclose(lam[:3], d, rtol=1e-6, atol=1e-8)
     assert conv[:3].all() and not conv[3:].any()
+
+
+def test_lobpcg_reseeds_zero_warm_rows():
+    """Zero rows in a warm-start block are ABSORBING without reseeding
+    (R = 0 ⇒ W = 0 ⇒ the row never revives), silently shrinking the
+    effective block across a warm-started k-chain (round-4 collapse
+    bug). The init reseed must recover full rank and converge all nev
+    bands from a block whose guard rows are exactly zero."""
+    n, nev, m = 60, 5, 9
+    H = _rand_hermitian(n, 7)
+    exact = scipy.linalg.eigh(H, eigvals_only=True)[:nev]
+    A = lambda x: jnp.asarray(H) @ x
+    X0 = np.array(_x0(m, (n,), 11))
+    X0[nev:] = 0.0  # degenerate warm start: all guard rows zero
+    r = lobpcg(A, None, jnp.asarray(X0), nev, maxiter=300, tol=1e-9)
+    assert bool(jnp.all(r.converged))
+    np.testing.assert_allclose(np.asarray(r.eigenvalues), exact,
+                               rtol=1e-8, atol=1e-8)
+    # The reseeded rows must carry actual (nonzero) eigenvectors.
+    X = np.asarray(r.eigenvectors)
+    assert np.all(np.linalg.norm(X[:nev], axis=1) > 0.1)
+
+
+def test_lobpcg_knife_edge_tol_terminates_fast():
+    """A stopping tolerance AT the f32 residual noise floor must not
+    run to maxiter (round-4 bug: the stagnation stop was disarmed by
+    an inf sentinel in the tracked rows and the solve ground to the
+    absorbing all-zero state). The rank-aware tracked residual +
+    degeneration stop must terminate within a few 16-iteration
+    segments, with finite outputs."""
+    n, nev, m = 80, 4, 8
+    H = _rand_hermitian(n, 13, dtype=np.complex64, spd_shift=4.0 * n)
+    A = lambda x: jnp.asarray(H, jnp.complex64) @ x
+    # tol far below the f32 floor: residuals plateau, done can't fire.
+    r = lobpcg(A, None, _x0(m, (n,), 17, jnp.complex64), nev,
+               maxiter=400, tol=1e-12)
+    assert int(r.iterations) < 120  # stagnation stop, not maxiter
+    lam = np.asarray(r.eigenvalues)
+    X = np.asarray(r.eigenvectors)
+    assert np.all(np.isfinite(lam))
+    assert np.linalg.norm(X) > 0.1  # no collapse
+    exact = scipy.linalg.eigh(H.astype(np.complex128),
+                              eigvals_only=True)[:nev]
+    np.testing.assert_allclose(lam, exact, rtol=1e-4)
