@@ -168,6 +168,7 @@ def test_dense_deflated_spectrum_ghost_free():
     assert vals[0] > 0.9 * exact[0]
 
 
+@pytest.mark.slow
 def test_lobpcg_deflated_empty_lattice():
     """Matrix-free deflated LOBPCG (production path) vs the dense
     deflated oracle (discrete-to-discrete: tight) and the continuum

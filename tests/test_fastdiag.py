@@ -92,6 +92,7 @@ def test_varying_eps_falls_back_to_mean_twin():
     assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-10
 
 
+@pytest.mark.slow
 def test_project_mode_matches_shift_mode():
     """The per-iteration projection path (production) agrees with the
     σ-shift path and the analytic oracle."""
@@ -116,6 +117,7 @@ def test_project_mode_matches_shift_mode():
                   / np.abs(ex)) < 0.05
 
 
+@pytest.mark.slow
 def test_spectral_engine_matches_field_engine():
     """engine='spectral' (all-block-space LOBPCG) reproduces the field
     engine's eigenvalues and returns back-transformed eigenvectors."""
@@ -166,6 +168,7 @@ def test_host_gradient_cleanup():
     assert np.linalg.norm(w) / np.linalg.norm(ref) < 1e-9
 
 
+@pytest.mark.slow
 def test_fd_eigensolve_beats_jacobi():
     """FCC Maxwell, empty lattice: the fastdiag-preconditioned deflated
     LOBPCG must converge in FAR fewer iterations than Jacobi and match

@@ -70,6 +70,7 @@ def test_vcycle_solves_shifted_system(alpha):
     assert r < 1e-5 * r0, r / r0
 
 
+@pytest.mark.slow
 def test_gmg_beats_jacobi_iterations():
     lat, sp, op = _setup(8, 3)
     gmg = GMG(sp, dtype=jnp.complex128, fine_op=op)
@@ -90,6 +91,7 @@ def test_gmg_beats_jacobi_iterations():
                                np.asarray(r_j.eigenvalues), rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_gmg_in_sweep_dielectric():
     """GMG through the sweep driver on the TM dielectric problem."""
     from bravais_tpu.operators.coefficients import dielectric_rod
@@ -106,6 +108,7 @@ def test_gmg_in_sweep_dielectric():
     assert sg.iterations[0] < sj.iterations[0]
 
 
+@pytest.mark.slow
 def test_qpgmg_solves_deflation_operator():
     """QPGMG Richardson+V solves L = G^H M_eps G to useful accuracy,
     including the near-Γ regime (dense coarse solve handles the

@@ -47,6 +47,7 @@ def test_tm_matches_dense_oracle():
                                    atol=1e-9)
 
 
+@pytest.mark.slow
 def test_tm_band_gap_vs_published():
     """TM gap of the ε=8.9, r=0.2a rod crystal vs the published MPB /
     Joannopoulos values (loose tolerance, see module docstring)."""
