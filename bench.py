@@ -70,6 +70,12 @@ def main():
                     "space LOBPCG (exact for the empty-lattice headline;"
                     " max MXU), 'field' = matrix-free applies with "
                     "fastdiag projection/preconditioning (general eps)")
+    ap.add_argument("--pc-rep", choices=["factor", "inv"],
+                    default="inv",
+                    help="spectral engine: (A+sM)^-1 preconditioner "
+                    "representation — 'factor' keeps the triangular "
+                    "factor (cheaper per-k setup), 'inv' the explicit "
+                    "inverse (cheaper per iteration)")
     ap.add_argument("--cg-iters", type=int, default=20)
     ap.add_argument("--maxiter", type=int, default=0,
                     help="LOBPCG maxiter (0 = per-problem default)")
@@ -132,7 +138,8 @@ def main():
         # 11-20 LOBPCG iterations/k at every tested size (vs 126-256
         # on Jacobi in round 1, which also failed outright at n=8 p=3).
         if args.engine == "spectral":
-            solve_fn = op.make_solve_fn(engine="spectral")
+            solve_fn = op.make_solve_fn(engine="spectral",
+                                        pc_rep=args.pc_rep)
         else:
             solve_fn = op.make_solve_fn(deflation="project",
                                         precond="fastdiag")

@@ -217,9 +217,8 @@ class BandSweep:
         its_all = np.zeros((0,), np.int32)
         res_all = np.zeros((0, self.nev), rdtype)
         vecs = [] if self.keep_vectors else None
-        wall = compile_s = 0.0
-        first = True
-        for s in range(0, nk, chunk):
+
+        def launch(s):
             ks = k_cart[s:s + chunk]
             # Pad every chunk to the FULL chunk length (not just to a
             # multiple of ndev): a ragged final chunk would change the
@@ -228,16 +227,29 @@ class BandSweep:
             pad = chunk - len(ks)
             if pad:
                 ks = np.concatenate([ks, np.repeat(ks[-1:], pad, axis=0)])
-            t0 = time.time()
-            out = self._jit_batched(X0, jnp.asarray(ks))
+            return ks, self._jit_batched(X0, jnp.asarray(ks))
+
+        # Pipelined chunk loop (same discipline as run_warm): queue this
+        # chunk's d2h copies, dispatch the NEXT chunk, and only then
+        # block + host-refine — the f64 refine overlaps with the device
+        # computing chunk j+1 instead of serializing between launches.
+        starts = list(range(0, nk, chunk))
+        t_start = time.time()
+        compile_s = 0.0
+        ks, out = launch(starts[0])
+        for ci, s in enumerate(starts):
+            if ci + 1 < len(starts):
+                for o in out:
+                    try:
+                        o.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        break
+                ks_next, out_next = launch(starts[ci + 1])
             # np.array (copy): np.asarray of device output is read-only,
             # and the refinement below writes into these.
             lam, its, res = (np.array(o) for o in out[:3])
-            dt = time.time() - t0
-            if first:
-                compile_s, first = dt, False
-            else:
-                wall += dt
+            if ci == 0:
+                compile_s = time.time() - t_start
             nkeep = len(k_cart[s:s + chunk])
             if self.refine or self.keep_vectors:
                 X_reims = np.asarray(out[3])  # (nk_pad, 2, m, *dof)
@@ -259,6 +271,12 @@ class BandSweep:
                         else range(s, s + nkeep))
                 writer.write_chunk(gidx, lam[:nkeep, :self.nev],
                                    its[:nkeep], res[:nkeep, :self.nev])
+            if ci + 1 < len(starts):
+                ks, out = ks_next, out_next
+        # Steady wall: everything after the first (compiling) chunk's
+        # outputs landed — includes every refine that was NOT hidden
+        # behind a later chunk's device work (honest throughput).
+        wall = time.time() - t_start - compile_s
         return SweepResult(lam_all, its_all, res_all, wall_s=wall,
                            compile_s=compile_s,
                            eigenvectors=(np.concatenate(vecs)

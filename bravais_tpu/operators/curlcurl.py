@@ -704,13 +704,25 @@ class BlochCurlCurl:
         Rayleigh–Ritz (seconds), and the result is the exact discrete
         spectrum rather than a subspace-limited RR value.
 
-        Gradient deflation per block: eigenpairs restricted to
-        {x : Ĝᴴ M̂ x = 0} via an SVD nullspace basis (rank cutoff
-        handles the θ→0 rank drop at Γ). Returns (eigenvalues[:nev],
-        residuals[:nev]) with residuals the f64 full-pencil residual
-        norms of the refined block eigenpairs — essentially machine
-        precision, an a-posteriori certificate (blocks are exact
-        invariant subspaces, so block residual = full residual)."""
+        Gradient deflation per block: σ-SHIFT instead of an explicit
+        nullspace basis (round-4 host-latency trim — the refine is
+        per-k critical-path work on the single-core host). The shifted
+        pencil (Â + σ·M̂Ĝ L̂⁻¹ĜᴴM̂, M̂) with L̂ = ĜᴴM̂Ĝ leaves every
+        physical eigenpair EXACT (Â x = λ M̂ x with λ≠0 implies
+        ĜᴴM̂ x = 0 because ĜᴴÂ = (ÂĜ)ᴴ = 0) while moving the whole
+        gradient subspace to eigenvalue σ; one 64×64 Cholesky + a
+        subset eigh of the lowest nev+2 pairs replaces the SVD
+        nullspace + full deflated eigh (measured ~2× per block). σ from
+        :meth:`fd_sigma` sits ≥2.5× above the nev-th band; shifted
+        copies are additionally dropped at 0.9σ, and the residual
+        certificate is computed against the ORIGINAL pencil, so a
+        σ-copy can never certify. Rank drop at θ→0 (Γ) is handled by
+        the same δ-regularized-Cholesky zero-direction guard as the
+        device projector. Returns (eigenvalues[:nev], residuals[:nev])
+        with residuals the f64 full-pencil residual norms — essentially
+        machine precision, an a-posteriori certificate (blocks are
+        exact invariant subspaces, so block residual = full residual).
+        """
         import scipy.linalg
 
         fd = self.fastdiag_G()
@@ -728,24 +740,48 @@ class BlochCurlCurl:
             # refine — signal the caller's fallback path.
             return None
         k = np.asarray(k, np.float64)
-        TA = fd.blocks_np([("A", 1.0)], k, idx)
-        TM = fd.blocks_np([("M", 1.0)], k, idx)
-        TG = fd.blocks_np([("G", 1.0)], k, idx)   # (c, D, Dh1)
+        TA, TM, TG = fd.blocks_np_multi(["A", "M", "G"], k, idx)
+        sigma = self.fd_sigma(nev + 4)            # ≥2.5× the nev-th band
         lams, ress = [], []
         for A_, M_, G_ in zip(TA, TM, TG):
             A_ = 0.5 * (A_ + A_.conj().T)
             M_ = 0.5 * (M_ + M_.conj().T)
-            C = (M_ @ G_).conj().T                # (Dh1, D): Cx=0 ⇔ x⊥∇
-            _, s, Vh = np.linalg.svd(C, full_matrices=True)
-            rk = int(np.sum(s > 1e-10 * (s[0] if s.size else 1.0)))
-            N = Vh[rk:].conj().T                  # (D, D-rk)
-            Ar = N.conj().T @ A_ @ N
-            Mr = N.conj().T @ M_ @ N
-            w, Y = scipy.linalg.eigh(0.5 * (Ar + Ar.conj().T),
-                                     0.5 * (Mr + Mr.conj().T))
-            X = N @ Y                             # block eigenvectors
+            W = M_ @ G_                            # (D, Dh1)
+            L = 0.5 * ((G_.conj().T @ W) + (G_.conj().T @ W).conj().T)
+            nh = L.shape[0]
+            tr = max(float(np.trace(L).real) / nh, 0.0)
+            delta = max(1e-12 * tr, np.finfo(np.float64).tiny)
+            Lc = scipy.linalg.cholesky(L + delta * np.eye(nh), lower=True)
+            dg = np.real(np.diag(Lc)).copy()
+            drop = (dg * dg) <= 2.0 * delta        # θ→0 rank drop at Γ
+            if drop.any():
+                # Zero the dropped directions via a huge pivot (the
+                # device projector's guard, in f64).
+                big = dg.max() / np.finfo(np.float64).eps
+                Lc[drop, :] = 0.0
+                Lc[:, drop] = 0.0
+                Lc[drop, drop] = big
+            Y = scipy.linalg.solve_triangular(Lc, W.conj().T, lower=True)
+            As = A_ + sigma * (Y.conj().T @ Y)    # + σ·M̂ĜL̂⁻¹ĜᴴM̂
+            # Manual Cholesky reduction to a STANDARD subset eigh: the
+            # MRRR driver (zheevr, eigenvalues 0..nev+1 only) is ~2×
+            # faster than LAPACK's generalized-subset hegvx at D=192.
+            Rm = scipy.linalg.cholesky(M_, lower=True)
+            T1 = scipy.linalg.solve_triangular(Rm, As, lower=True)
+            Ast = scipy.linalg.solve_triangular(
+                Rm, T1.conj().T, lower=True)       # L⁻¹ As L⁻ᴴ
+            kmax = min(nev + 1, Ast.shape[0] - 1)
+            w, Yv = scipy.linalg.eigh(0.5 * (Ast + Ast.conj().T),
+                                      subset_by_index=[0, kmax],
+                                      driver="evr")
+            keep = w < 0.9 * sigma                # drop shifted ∇-copies
+            #       (copies sit at EXACTLY σ; physical bands are below
+            #        σ/2.5 by fd_sigma's margin)
+            w, Yv = w[keep], Yv[:, keep]
+            X = scipy.linalg.solve_triangular(Rm, Yv, lower=True,
+                                              trans='C')  # L⁻ᴴ y
             MX = M_ @ X
-            R = A_ @ X - MX * w[None, :]
+            R = A_ @ X - MX * w[None, :]          # ORIGINAL pencil
             nrm = np.maximum(np.linalg.norm(MX, axis=0), 1e-30)
             lams.append(w)
             ress.append(np.linalg.norm(R, axis=0) / nrm)  # absolute
@@ -1017,7 +1053,8 @@ class BlochCurlCurl:
                       fd_shift: float | None = None,
                       scale_floor: float | None = None,
                       engine: str = "field",
-                      proj_method: str = "chol") -> Callable:
+                      proj_method: str = "chol",
+                      pc_rep: str = "inv") -> Callable:
         """Solve hook for BandSweep: LOBPCG on the gradient-shifted
         operator Ã = A + σ·M P (P = gradient projector).
 
@@ -1064,7 +1101,7 @@ class BlochCurlCurl:
             0.3 if jnp.dtype(self.dtype) == jnp.complex64 else 3e-2)
         if engine == "spectral":
             return self._make_spectral_solve_fn(fd_shift, sfloor,
-                                                proj_method)
+                                                proj_method, pc_rep)
         defl = deflation or ("gmg" if deflation_gmg else "cg")
         if defl == "project" and not self._coef_elem_invariant():
             # The "project" variant feeds the DIRECT fast-diagonal
@@ -1185,7 +1222,8 @@ class BlochCurlCurl:
         return solve
 
     def _make_spectral_solve_fn(self, fd_shift, sfloor,
-                                proj_method: str = "qr") -> Callable:
+                                proj_method: str = "qr",
+                                pc_rep: str = "inv") -> Callable:
         """LOBPCG run ENTIRELY in the twisted-DFT block basis — the
         maximum-MXU path for element-translation-invariant coefficients
         (every empty-lattice config, incl. the headline benchmark).
@@ -1207,13 +1245,26 @@ class BlochCurlCurl:
         self.fastdiag_G()  # host stencil extraction (A, M, G), cached
 
         def build_pc(op, k):
-            """(A+sM)⁻¹ preconditioner blocks at k — the ~43 ms piece of
-            per-k setup (blocks + batched Cholesky + triangular
-            inverse). Exposed separately so chain launches can build it
-            ONCE per launch (at the middle k of the chain) and reuse it
-            across the chain's solves: it is only a preconditioner, so
-            a few-k staleness costs at most a few extra iterations
-            while saving the build at every other k."""
+            """(A+sM)⁻¹ preconditioner blocks at k — the largest piece
+            of per-k setup (blocks + batched Cholesky + triangular
+            inverse). ``pc_rep`` picks the representation:
+
+            * "factor" — return the triangular factor
+              Yc = L⁻¹ only; the preconditioner applies as Ycᴴ(Yc·R),
+              two batched GEMMs per call. Skips the explicit YcᴴYc
+              product in setup (a (B, D, D)×(B, D, D) batched matmul,
+              ~29 GFLOP at the n=8 p=4 headline) at the price of one
+              extra skinny GEMM per LOBPCG iteration (~2.4 GFLOP at
+              m=16) — a net win whenever iters/k stays below ~10.
+            * "inv" (default until the factor variant is
+              TPU-measured) — the explicit inverse YcᴴYc; one GEMM
+              per apply.
+
+            Exposed separately so chain launches can build it ONCE per
+            launch (at the middle k of the chain) and reuse it across
+            the chain's solves: it is only a preconditioner, so a few-k
+            staleness costs at most a few extra iterations while saving
+            the build at every other k."""
             fd = op.fastdiag_G()
             s_ = float(fd_shift if fd_shift is not None
                        else op.default_fd_shift())
@@ -1223,6 +1274,8 @@ class BlochCurlCurl:
             eyeD = jnp.broadcast_to(
                 jnp.eye(Tsh.shape[-1], dtype=Tsh.dtype), Tsh.shape)
             Yc = _jsl.solve_triangular(Lc, eyeD, lower=True)
+            if pc_rep == "factor":
+                return Yc
             return jnp.conj(jnp.swapaxes(Yc, -1, -2)) @ Yc
 
         def solve(op, X0, k, nev, tol, maxiter, precond_in, pc=None):
@@ -1324,9 +1377,18 @@ class BlochCurlCurl:
                     phi = bmv(V, winv.astype(x.dtype) * bmv(VH, r))
                     return bmv(TG, phi)
 
-            def pc(R):
-                z = bmv(Tpc, R)
-                return z - proj(z)
+            if pc_rep == "factor":
+                def pc(R):
+                    # Tpc is the triangular factor Yc = L⁻¹:
+                    # (A+sM)⁻¹R = Ycᴴ(Yc·R) — adjoint GEMM via einsum
+                    # (no materialized (B, D, D) transpose).
+                    z = jnp.einsum("bji,bj->bi", jnp.conj(Tpc),
+                                   bmv(Tpc, R))
+                    return z - proj(z)
+            else:
+                def pc(R):
+                    z = bmv(Tpc, R)
+                    return z - proj(z)
 
             X0b = jax.vmap(lambda x: fd.to_blocks(x, F))(X0)
             X0b = X0b - jax.vmap(proj)(X0b)

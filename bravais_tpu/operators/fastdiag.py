@@ -360,6 +360,48 @@ class FastDiag:
             T = w.T @ Sf
         return T.reshape(w.shape[1], S.shape[1], S.shape[2])
 
+    def blocks_np_multi(self, names: Sequence[str], k: np.ndarray,
+                        idx=None) -> list:
+        """Several stencils' blocks at the same (k, idx) in ONE pair of
+        dgemms — the phase factors w and the GEMM launch overhead are
+        shared across stencils (the refine needs A, M and G together on
+        the per-k critical path). Stencils may have different column
+        dimensions (rectangular "G"); rows (ncomp·p^d) must match."""
+        k = np.asarray(k, np.float64)
+        theta = [(self.A_rows[i] @ k + 2.0 * np.pi * np.arange(n)) / n
+                 for i, n in enumerate(self.shape)]
+        w = None
+        for i in range(self.d):
+            wi = np.exp(1j * theta[i])[None, :] ** \
+                self.offsets[:, i].astype(np.float64)[:, None]
+            w = wi if w is None else np.einsum("s...,sn->s...n", w, wi)
+        w = w.reshape(w.shape[0], -1)
+        if idx is not None:
+            w = w[:, np.asarray(idx, np.int64)]
+        mats = [self.stencils[nm] for nm in names]
+        cols = [m.shape[1] * m.shape[2] for m in mats]
+        ck = tuple(names)
+        if not hasattr(self, "_multi_cache"):
+            self._multi_cache = {}
+        Sf = self._multi_cache.get(ck)
+        if Sf is None:
+            # ~19 MB concatenate at the n=8 p=4 headline — per-k
+            # critical-path host work, so cache per names tuple.
+            Sf = np.concatenate([m.reshape(m.shape[0], -1)
+                                 for m in mats], axis=1)
+            self._multi_cache[ck] = Sf
+        if np.isrealobj(Sf):
+            T = (np.ascontiguousarray(w.real.T) @ Sf
+                 + 1j * (np.ascontiguousarray(w.imag.T) @ Sf))
+        else:
+            T = w.T @ Sf
+        out, o = [], 0
+        for m, c in zip(mats, cols):
+            out.append(T[:, o:o + c].reshape(w.shape[1], m.shape[1],
+                                             m.shape[2]))
+            o += c
+        return out
+
     def candidate_blocks(self, support: np.ndarray, topk: int = 4,
                          tau: float = 1e-5) -> np.ndarray:
         """Flat block indices carrying the converged bands: per LOBPCG
