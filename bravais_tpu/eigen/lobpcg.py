@@ -329,9 +329,15 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         APn = jnp.where(ok, APn, c.AP)
         MPn = jnp.where(ok, MPn, c.MP)
         if Kf is not None:
-            Kx, Kp_ = Kf(Xn), Kf(Pn)
-            Xn, MXn = Xn - Kx, MXn - Mf(Kx)
-            Pn, MPn = Pn - Kp_, MPn - Mf(Kp_)
+            # One 2m-row batched call instead of two m-row calls: the
+            # projector's fixed per-call work (basis transforms inside
+            # e.g. the Chebyshev gradient projector) amortizes over the
+            # doubled batch — the X/P deflation is per-iteration cost.
+            K2 = Kf(jnp.concatenate([Xn, Pn], axis=0))
+            M2 = Mf(K2)
+            Kx, Kp_ = K2[:m], K2[m:]
+            Xn, MXn = Xn - Kx, MXn - M2[:m]
+            Pn, MPn = Pn - Kp_, MPn - M2[m:]
 
         # done must be RANK-AWARE: test the nev LOWEST healthy Ritz
         # rows, not rows [:nev]. Row order is ascending only after an

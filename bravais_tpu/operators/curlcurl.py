@@ -842,8 +842,18 @@ class BlochCurlCurl:
         minv = self.fastdiag().solver([("A", 1.0), ("M", s_)], k)
         sA = jnp.asarray(s_, self.rdtype)
 
-        def apply(x):
-            return self.apply_A(x, k) + sA * self.apply_M(x, k)
+        if self.supports_fused_am():
+            # One fused Pallas pass gives (A x, M x) together — the
+            # shifted apply inside the inner PCG is the hottest op of
+            # the varying-ε production path (inner_iters × per LOBPCG
+            # iteration), and the fused kernel is already the
+            # production AM hook of that same path.
+            def apply(x):
+                ax, mx = self.apply_AM_pallas(x, k)
+                return ax + sA * mx
+        else:
+            def apply(x):
+                return self.apply_A(x, k) + sA * self.apply_M(x, k)
 
         def pc(R):
             x = jnp.zeros_like(R)
