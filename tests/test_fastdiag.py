@@ -319,3 +319,87 @@ def test_spectral_refine_empty_support_returns_none():
     fd = oph.qp_fastdiag()
     suph = np.zeros((8, fd.nblocks))
     assert fd.spectral_refine_np(suph, np.array([0.3, 0.1]), 4) is None
+
+
+def test_blocks_np_multi_matches_single():
+    """The fused multi-stencil host block builder (refine critical
+    path) must agree with per-stencil blocks_np, including the
+    rectangular G stencil and the cached concat on a second call."""
+    op = _op("FCC", 3, 2)
+    fd = op.fastdiag_G()
+    k = K_TEST
+    idx = np.asarray([0, 3, 7, 11], np.int64)
+    for _ in range(2):  # second pass exercises the concat cache
+        TA, TM, TG = fd.blocks_np_multi(["A", "M", "G"], k, idx)
+        np.testing.assert_allclose(
+            TA, fd.blocks_np([("A", 1.0)], k, idx), rtol=1e-13)
+        np.testing.assert_allclose(
+            TM, fd.blocks_np([("M", 1.0)], k, idx), rtol=1e-13)
+        np.testing.assert_allclose(
+            TG, fd.blocks_np([("G", 1.0)], k, idx), rtol=1e-13)
+
+
+def test_host_rr_sigma_shift_matches_dense_varying_eps():
+    """The σ-shift host Rayleigh–Ritz (the varying-ε refine path) on a
+    rich subspace must reproduce the dense f64 deflated eigenvalues —
+    gradient directions in the subspace must NOT surface as spurious
+    low bands (the failure the shift replaces the CG projection for)."""
+    import scipy.linalg
+    from bravais_tpu.eigen.refine import host_rayleigh_ritz
+    from bravais_tpu.operators.coefficients import dielectric_sphere
+    from bravais_tpu.utils.reim import to_reim_np
+
+    lat = make_lattice("CUB")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 1)
+    eps = dielectric_sphere(13.0, 1.0, 0.3, 0.5 * lat.A.sum(axis=0),
+                            lat.A)
+    op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex128)
+    k = np.asarray([0.31, 0.11, -0.23])
+    N = sp.ndofs
+    # Dense pencil + exact deflated spectrum (oracle).
+    eyeN = np.eye(N)
+    def dense(apply):
+        cols = [np.asarray(apply(eyeN[:, j].reshape(sp.field_shape),
+                                 k)).ravel() for j in range(N)]
+        return np.stack(cols, axis=1)
+    A = dense(op.apply_A_np)
+    M = dense(op.apply_M_np)
+    A = 0.5 * (A + A.conj().T)
+    M = 0.5 * (M + M.conj().T)
+    # gradient basis: G applied to H1 unit vectors
+    Nh = op.h1.ndofs
+    eyeH = np.eye(Nh)
+    Gcols = [np.asarray(op.apply_Gk_np(
+        eyeH[:, j].reshape(op.h1.dof_shape), k)).ravel()
+        for j in range(Nh)]
+    G = np.stack(Gcols, axis=1)
+    # deflated oracle: eig restricted to the M-orthogonal complement
+    C = (M @ G).conj().T
+    _, s, Vh = np.linalg.svd(C, full_matrices=True)
+    rk = int(np.sum(s > 1e-10 * s[0]))
+    Nn = Vh[rk:].conj().T
+    w_exact = scipy.linalg.eigh(Nn.conj().T @ A @ Nn,
+                                Nn.conj().T @ M @ Nn,
+                                eigvals_only=True)
+    nev = 4
+    # Subspace: exact lowest eigenvectors CONTAMINATED with gradient
+    # leakage + two PURE-gradient guard rows (the spurious-low-band
+    # stressor the shift replaces the CG projection for). Unlike the
+    # explicit projection, the shift's eigenvalue error is SECOND
+    # order in the leakage (measured ~17·ε² relative at ε leakage):
+    # 1e-4 is an upper bound on production leakage after the device's
+    # per-iteration contracting kernel projection (the ε=13/30
+    # f32-certification tests gate the REAL production vectors at
+    # 1e-6), so the bar here is the same 1e-6 production bar.
+    w_all, V_all = scipy.linalg.eigh(Nn.conj().T @ A @ Nn,
+                                     Nn.conj().T @ M @ Nn)
+    Xp = (Nn @ V_all[:, :nev]).T                 # (nev, N) physical
+    rng = np.random.default_rng(0)
+    gdirs = (G @ rng.standard_normal((Nh, nev + 2))).T
+    gdirs /= np.linalg.norm(gdirs, axis=1, keepdims=True)
+    X = np.concatenate([Xp + 1e-4 * gdirs[:nev], gdirs[nev:]], axis=0)
+    X = X.reshape(nev + 2, *sp.field_shape)
+    lam, res = host_rayleigh_ritz(op, to_reim_np(X), k, nev)
+    rel = np.abs(lam - w_exact[:nev]) / np.abs(w_exact[:nev])
+    assert rel.max() < 1e-6, (lam, w_exact[:nev])
+    assert res.max() < 1e-3, res
