@@ -25,12 +25,15 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--problem",
-                    choices=["maxwell", "scalar", "dielectric"],
+                    choices=["maxwell", "scalar", "dielectric",
+                             "rods2d"],
                     default="maxwell")
-    ap.add_argument("--eps-in", type=float, default=13.0,
-                    help="dielectric problem: sphere permittivity")
-    ap.add_argument("--radius", type=float, default=0.25,
-                    help="dielectric problem: sphere radius (units of a)")
+    ap.add_argument("--eps-in", type=float, default=None,
+                    help="dielectric/rods2d: inclusion permittivity "
+                    "(default 13 sphere / 8.9 rod)")
+    ap.add_argument("--radius", type=float, default=None,
+                    help="dielectric/rods2d: inclusion radius in units "
+                    "of a (default 0.25 sphere / 0.2 rod)")
     ap.add_argument("--nk", type=int, default=16)
     ap.add_argument("--n", type=int, default=0,
                     help="elements per dim (0 = per-problem default)")
@@ -106,7 +109,9 @@ def main():
         lat = make_lattice("CUB")
         kp = kpath(lat, npts=args.nk, path=[["G", "X", "M", "R"]])
         sp = NedelecSpace.make(PeriodicGrid.make(lat, n), p)
-        eps = dielectric_sphere(args.eps_in, 1.0, args.radius,
+        eps_in = args.eps_in if args.eps_in is not None else 13.0
+        radius = args.radius if args.radius is not None else 0.25
+        eps = dielectric_sphere(eps_in, 1.0, radius,
                                 0.5 * lat.A.sum(axis=0), lat.A)
         op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
         solve_fn = op.make_solve_fn(deflation="project-cheby",
@@ -116,7 +121,7 @@ def main():
                           tol=args.tol, maxiter=args.maxiter or 250,
                           solve_fn=solve_fn)
         metric = (f"k-point eigensolves/sec (CUB Maxwell G-X-M-R, "
-                  f"eps={args.eps_in:g} sphere r={args.radius:g}a, "
+                  f"eps={eps_in:g} sphere r={radius:g}a, "
                   f"{args.nev} bands, n={n} p={p}, solver tol "
                   f"{args.tol:g})")
         mmax, mult = None, None   # no analytic oracle for varying ε
@@ -152,6 +157,33 @@ def main():
                   f"{args.nev} bands, n={n} p={p}; solver tol {args.tol:g},"
                   f" achieved eig err reported in detail)")
         mmax, mult = 3, 2
+    elif args.problem == "rods2d":
+        # Config 2 (BASELINE.json:8): 2D square lattice of dielectric
+        # rods (ε=8.9, r=0.2a), TM polarization (α=1, β=ε on H1) —
+        # the published-gap photonic-crystal workload
+        # (tests/test_photonic2d.py gates the gap edges vs MPB).
+        from bravais_tpu.operators.coefficients import dielectric_rod
+        from bravais_tpu.operators.helmholtz import BlochHelmholtz
+        from bravais_tpu.spaces.h1 import H1Space
+        n = args.n or 16
+        p = args.p or 3
+        lat = make_lattice("SQR")
+        kp = kpath(lat, npts=args.nk)
+        sp = H1Space.make(PeriodicGrid.make(lat, n), p)
+        eps_in = args.eps_in if args.eps_in is not None else 8.9
+        radius = args.radius if args.radius is not None else 0.2
+        eps = dielectric_rod(eps_in, 1.0, radius,
+                             0.5 * lat.A.sum(axis=0), lat.A)
+        op = BlochHelmholtz(sp, alpha=1.0, beta=eps,
+                            dtype=jnp.complex64)
+        sweep = BandSweep(op, nev=args.nev,
+                          block=args.block or args.nev + 6,
+                          tol=args.tol, maxiter=args.maxiter or 400)
+        metric = (f"k-point eigensolves/sec (2D SQR TM dielectric "
+                  f"rods eps={eps_in:g} r={radius:g}a, {args.nev} "
+                  f"bands, n={n} p={p}, tol {args.tol:g})")
+        mmax, mult = None, None   # no analytic oracle for varying ε
+        args.engine = "field"
     else:
         from bravais_tpu.operators.helmholtz import BlochHelmholtz
         from bravais_tpu.spaces.h1 import H1Space
