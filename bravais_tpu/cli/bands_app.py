@@ -145,7 +145,8 @@ def run(cfg, log=print):
     sweep = BandSweep(op, nev=cfg.nev, block=cfg.block, tol=cfg.tol,
                       maxiter=cfg.maxiter, precond=cfg.precond,
                       seed=cfg.seed, solve_fn=make_solve_fn(cfg, op),
-                      keep_vectors=cfg.save_modes)
+                      keep_vectors=cfg.save_modes,
+                      device_tol=cfg.device_tol)
 
     writer = None
     if cfg.out:
@@ -179,6 +180,9 @@ def run(cfg, log=print):
                                      k_index=todo_np)
     elif cfg.mode == "warm":
         res = sweep.run_warm(kcart, writer=writer, k_index=todo_np)
+    elif cfg.mode == "warm-chain":
+        res = sweep.run_warm_chain(kcart, chain=cfg.chain,
+                                   writer=writer, k_index=todo_np)
     else:
         res = sweep.run(kcart, mesh=mesh, writer=writer, k_index=todo_np)
 

@@ -45,12 +45,18 @@ class RunConfig:
     nev: int = 10
     block: Optional[int] = None
     tol: float = 1e-6
+    #: explicit device-loop stopping residual when the exact spectral
+    #: f64 refine is active (see bench.py --device-tol rationale);
+    #: None keeps ``tol`` semantics. Identity-affecting by design
+    #: (a different device stop is a different convergence path).
+    device_tol: Optional[float] = None
     maxiter: int = 400
     precond: str = "jacobi"
     # precision: "f32" (TPU) | "f64" (CPU oracle runs)
     precision: str = "f32"
     # execution
-    mode: str = "warm"               # "warm" | "batched"
+    mode: str = "warm"               # "warm" | "batched" | "warm-chain"
+    chain: int = 4                   # warm-chain: k-points per launch
     shard: bool = False              # shard k axis over all devices
     #: Maxwell solver engine: "auto" | "spectral" | "field" | "gmg"
     engine: str = "auto"
@@ -70,8 +76,8 @@ class RunConfig:
     #: whose eigenvalues differ from the pointwise-ik path at
     #: discretization-error level, so a resume across engines would
     #: silently mix two discretizations in one band table (ADVICE r2 #2).
-    _EXECUTION_FIELDS = ("out", "resume", "plot", "mode", "shard",
-                         "save_modes")
+    _EXECUTION_FIELDS = ("out", "resume", "plot", "mode", "chain",
+                         "shard", "save_modes")
 
     def identity_dict(self) -> Dict:
         """The config subset that identifies a run's RESULTS — used for
@@ -115,7 +121,7 @@ class RunConfig:
                 if f.default is None:
                     typ = str if f.name not in (
                         "b", "c", "alpha_deg", "beta_deg", "gamma_deg",
-                        "quad", "block") else float
+                        "quad", "block", "device_tol") else float
                     if f.name in ("quad", "block"):
                         typ = int
                 ap.add_argument(name, type=typ, default=f.default)
