@@ -89,6 +89,17 @@ def jacobi_eigh(H: jax.Array, sweeps: int = 24):
     n0 = H.shape[-1]
     cdtype = H.dtype
     rdtype = jnp.finfo(cdtype).dtype
+    # Fused-sweep Pallas kernel (eigen/pallas_jacobi.py): one program
+    # instead of ~1500 sequential small XLA ops — opt-in until
+    # TPU-measured (BRAVAIS_JACOBI_PALLAS=1). Single-matrix complex64
+    # only (the batched (B, D, D) fastdiag callers stay on XLA, where
+    # batching already amortizes the per-op latency).
+    import os
+    if (H.ndim == 2 and n0 % 2 == 0 and cdtype == jnp.complex64
+            and os.environ.get("BRAVAIS_JACOBI_PALLAS")
+            and jax.default_backend() not in ("cpu",)):
+        from bravais_tpu.eigen.pallas_jacobi import jacobi_eigh_pallas
+        return jacobi_eigh_pallas(H)
     n = n0 + (n0 % 2)
     if n != n0:
         # Pad with a DECOUPLED row/col (zero off-diagonals, so every

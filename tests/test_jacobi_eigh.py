@@ -74,3 +74,34 @@ def test_psd_gram_like():
     np.testing.assert_allclose(np.asarray(w), wref,
                                rtol=1e-9, atol=1e-9 * wref.max())
     assert np.asarray(w).min() > -1e-10 * wref.max()
+
+
+def test_pallas_fused_sweep_matches_xla():
+    """The fused-sweep Pallas kernel (interpret mode) must match the
+    XLA jacobi_eigh at the f32 level on plain, graded, and degenerate
+    Hermitian matrices — the gate for BRAVAIS_JACOBI_PALLAS=1."""
+    import jax
+    import scipy.linalg
+    from bravais_tpu.eigen.pallas_jacobi import jacobi_eigh_pallas
+
+    rng = np.random.default_rng(7)
+    n = 48
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = 0.5 * (A + A.conj().T)
+    d = np.logspace(0, 4, n)
+    Hg = H * np.sqrt(d[:, None] * d[None, :]) / 1e4
+    Q, _ = np.linalg.qr(A)
+    w0 = np.sort(np.concatenate([np.repeat([1.0, 2.0], 6),
+                                 rng.uniform(3, 40, n - 12)]))
+    Hd = (Q * w0[None, :]) @ Q.conj().T
+    for M in (H, Hg, 0.5 * (Hd + Hd.conj().T)):
+        w_ref = scipy.linalg.eigh(M, eigvals_only=True)
+        Mj = jnp.asarray(M, jnp.complex64)
+        w, V = jax.jit(lambda x: jacobi_eigh_pallas(
+            x, interpret=True))(Mj)
+        w, V = np.asarray(w), np.asarray(V)
+        scale = np.maximum(np.abs(w_ref), 1e-3 * np.abs(w_ref).max())
+        assert np.max(np.abs(w - w_ref) / scale) < 5e-4
+        R = M.astype(np.complex64) @ V - V * w[None, :]
+        assert np.linalg.norm(R) / np.linalg.norm(M) < 2e-5
+        assert np.linalg.norm(V.conj().T @ V - np.eye(n)) < 2e-4
