@@ -105,3 +105,25 @@ def test_pallas_fused_sweep_matches_xla():
         R = M.astype(np.complex64) @ V - V * w[None, :]
         assert np.linalg.norm(R) / np.linalg.norm(M) < 2e-5
         assert np.linalg.norm(V.conj().T @ V - np.eye(n)) < 2e-4
+
+
+def test_pallas_fused_sweep_vmap():
+    """vmap over the fused-sweep kernel (the batched-sweep modes vmap
+    the whole solve, RR included) — interpret-mode parity per batch."""
+    import jax
+    import scipy.linalg
+    from bravais_tpu.eigen.pallas_jacobi import jacobi_eigh_pallas
+
+    rng = np.random.default_rng(3)
+    Hs = []
+    for _ in range(3):
+        A = rng.standard_normal((16, 16)) + 1j * rng.standard_normal(
+            (16, 16))
+        Hs.append(0.5 * (A + A.conj().T))
+    Hb = jnp.asarray(np.stack(Hs), jnp.complex64)
+    w, V = jax.jit(jax.vmap(lambda x: jacobi_eigh_pallas(
+        x, interpret=True)))(Hb)
+    for i, H in enumerate(Hs):
+        w_ref = scipy.linalg.eigh(H, eigvals_only=True)
+        assert np.max(np.abs(np.asarray(w[i]) - w_ref)
+                      / np.maximum(np.abs(w_ref), 1e-3)) < 5e-4
