@@ -403,3 +403,36 @@ def test_host_rr_sigma_shift_matches_dense_varying_eps():
     rel = np.abs(lam - w_exact[:nev]) / np.abs(w_exact[:nev])
     assert rel.max() < 1e-6, (lam, w_exact[:nev])
     assert res.max() < 1e-3, res
+
+
+def test_spectral_refine_exact_gamma_guard():
+    """spectral_refine_np at EXACT Γ (un-nudged): the σ-shift's
+    Cholesky rank-drop guard must zero the degenerate gradient
+    direction instead of dividing by ~0 — finite output, machine-level
+    certificates, and the correct Γ physics (three ω²=0 constant-field
+    modes, then the first Brillouin shell at the discrete value)."""
+    import itertools
+
+    lat = make_lattice("CUB")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
+    op = BlochCurlCurl(sp, dtype=jnp.complex64)
+    fd = op.fastdiag_G()
+    k = np.zeros(3)
+    nev = 6
+    best = []
+    for f in itertools.product(*[range(n) for n in fd.shape]):
+        vals = [np.sum(((np.array(f) + np.array(fd.shape)
+                         * np.array(mm)) @ lat.B) ** 2)
+                for mm in itertools.product((-1, 0, 1), repeat=3)]
+        best.append((min(vals), np.ravel_multi_index(f, fd.shape)))
+    best.sort()
+    support = np.zeros((nev + 2, fd.nblocks))
+    for r in range(nev + 2):
+        support[r, best[min(r, 4)][1]] = 1.0
+    lam, res = op.spectral_refine_np(support, k, nev)
+    assert np.all(np.isfinite(lam)) and np.all(np.isfinite(res))
+    assert res.max() < 1e-10
+    assert np.sum(np.abs(lam) < 1e-8) == 3      # constant fields at Γ
+    shell = lam[np.abs(lam) > 1e-8]
+    ex = float(np.sum(lat.B[0] ** 2))           # |b|² continuum shell
+    assert np.all(np.abs(shell - ex) / ex < 0.05)  # n=3 p=2 h-error
