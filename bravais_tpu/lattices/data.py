@@ -309,8 +309,44 @@ def _rhl(a, b, c, al, be, ga):
     return A, pts, path, "RHL2", False
 
 
+def _reduce_oblique_plane(b, c, al, reduce_b):
+    """Normalize a monoclinic oblique-plane basis {(b,0), (c·cosα, c·sinα)}
+    into the S&C conventional regime: α < 90° and c·cosα ≤ b/2 (plus
+    b ≤ c when ``reduce_b``). Returns (b, c, α) of a congruent lattice.
+
+    Lattice-preserving moves only: c ← c − m·b_vec (skew reduction),
+    c ← −c (inversion), swap b↔c (MCL only — both plane vectors are free
+    primitive vectors; for MCLC b is welded to the C-centering), and a
+    180° rotation about the axis normal to the plane (maps the in-plane
+    component c_y → −c_y with the centering pattern onto itself), which
+    turns the post-reduction obtuse case c_y ∈ [−b/2, 0) into the acute
+    one WITHOUT a reflection. Without this step, strongly skewed or
+    obtuse cells drove the S&C fraction formulas (η, ψ, …) out of [0,1]
+    and forced the generic-path fallback (round-4 gap; SURVEY.md §2.1 #1).
+    """
+    v1 = np.array([b, 0.0])
+    v2 = np.array([c * np.cos(al), c * np.sin(al)])
+    for _ in range(64):
+        m = np.rint(np.dot(v1, v2) / np.dot(v1, v1))
+        v2 = v2 - m * v1
+        if reduce_b and np.dot(v2, v2) < np.dot(v1, v1):
+            v1, v2 = v2, v1
+            continue
+        if m == 0:
+            break
+    # Orient: v1 along +y (rotation within the plane), v2_z > 0
+    # (take −v2 if needed), then v2_y ≥ 0 via the 180° rotation.
+    b2 = float(np.linalg.norm(v1))
+    c2 = float(np.linalg.norm(v2))
+    cy = abs(float(np.dot(v1, v2))) / b2
+    cz = abs(float(v1[0] * v2[1] - v1[1] * v2[0])) / b2
+    return b2, c2, float(np.arctan2(cz, cy))
+
+
 def _mcl(a, b, c, al, be, ga):
     # S&C MCL convention: unique axis with b <= c, alpha < 90 deg.
+    # Arbitrary cells are first reduced into that regime (same lattice).
+    b, c, al = _reduce_oblique_plane(b, c, al, reduce_b=True)
     A = np.array([[a, 0, 0], [0, b, 0],
                   [0, c * np.cos(al), c * np.sin(al)]])
     sa = np.sin(al)
@@ -326,6 +362,9 @@ def _mcl(a, b, c, al, be, ga):
     })
     path = [["G", "Y", "H", "C", "E", "M1", "A", "X", "H1"],
             ["M", "D", "Z"], ["Y", "D"]]
+    if not _path_on_bz(_reciprocal(A), pts, path):
+        pts, path = _generic_path_3d()
+        return A, pts, path, "MCL", True
     return A, pts, path, "MCL", False
 
 
@@ -351,6 +390,10 @@ def _path_on_bz(B: np.ndarray, pts: Dict[str, np.ndarray],
 
 def _mclc(a, b, c, al, be, ga):
     # C-centered monoclinic, S&C convention (unique axis alpha).
+    # b is welded to the C-centering, so only the c-axis is reduced
+    # (skew mod b + orientation flips — same lattice, see
+    # _reduce_oblique_plane).
+    b, c, al = _reduce_oblique_plane(b, c, al, reduce_b=False)
     A = np.array([[a / 2, b / 2, 0], [-a / 2, b / 2, 0],
                   [0, c * np.cos(al), c * np.sin(al)]])
     B = _reciprocal(A)
@@ -367,11 +410,12 @@ def _mclc(a, b, c, al, be, ga):
     # S&C parameter-dependent point tables (offline recollection,
     # VALIDATED numerically: every path point of every variant
     # satisfies the BZ Voronoi property |k| = min_G |k−G| over wide
-    # parameter scans — see tests/test_lattices.py). The tables assume
-    # moderate cells; strongly obtuse kγ with a ≪ b drives η/ψ out of
-    # [0,1] (a known S&C-regime limitation), which the _path_on_bz
-    # guard below detects → sanctioned generic-path fallback
-    # (SURVEY.md App. A; labels only, eigensolves unaffected).
+    # parameter scans — see tests/test_lattices.py). The cell
+    # normalization above keeps the fraction formulas in-regime for
+    # arbitrary inputs (obtuse α / strong c-skew previously fell back);
+    # the _path_on_bz guard below remains as a backstop → sanctioned
+    # generic-path fallback (SURVEY.md App. A; labels only,
+    # eigensolves unaffected).
     sa, ca = np.sin(al), np.cos(al)
     if variant in ("MCLC1", "MCLC2"):
         ze = (2 - b * ca / c) / (4 * sa * sa)
@@ -555,6 +599,13 @@ def make_lattice(name: str, a: float = 1.0, b: Optional[float] = None,
     A, pts, path, variant, generic = _BUILDERS[key](a, b, c, alpha, beta,
                                                     gamma)
     A = np.asarray(A, dtype=np.float64)
+    if key in ("MCL", "MCLC"):
+        # Report the NORMALIZED conventional cell (the one A was built
+        # from — see _reduce_oblique_plane) so params round-trip:
+        # make_lattice(name, **lat.params) rebuilds the identical A.
+        b = float(A[1, 1]) if key == "MCL" else float(2 * A[0, 1])
+        c = float(np.hypot(A[2, 1], A[2, 2]))
+        alpha = float(np.arctan2(A[2, 2], A[2, 1]))
     return Lattice(
         name=key, variant=variant, dim=A.shape[0], A=A, B=_reciprocal(A),
         points=pts, path=path,

@@ -257,13 +257,78 @@ def test_mclc_tables_parameter_scan():
         _bz_boundary_ok(lat)
 
 
-def test_mclc_extreme_parameters_fall_back():
-    """Strongly obtuse kγ with a ≪ b drives the S&C MCLC1 fractions
-    out of the BZ (η > 1 — the known S&C regime limitation); the
-    runtime guard must detect it and fall back to the sanctioned
-    generic path rather than emit off-BZ 'symmetry' points."""
-    lat = make_lattice("MCLC", a=0.5, b=1.0, c=1.05,
-                       alpha=np.deg2rad(55.0))
-    assert lat.variant == "MCLC1"
-    assert lat.generic_path
-    assert "Q1" in lat.points          # generic fallback labels
+def _shell_spectrum(A, R=2.3456):
+    """Sorted lattice-point norms below R (basis-aware sampling bound
+    so highly skewed bases are fully enumerated). Congruent lattices
+    have identical spectra; R is chosen off typical shell radii and the
+    comparison truncates to the shorter list to dodge cutoff ties."""
+    import itertools
+    A = np.asarray(A, np.float64)
+    Ainv = np.linalg.inv(A)
+    rngs = [int(np.ceil(R * np.linalg.norm(Ainv[:, i]))) + 1
+            for i in range(A.shape[0])]
+    pts = np.array(list(itertools.product(
+        *[range(-r, r + 1) for r in rngs])), np.float64) @ A
+    n = np.sort(np.linalg.norm(pts, axis=1))
+    return n[n < R]
+
+
+def _assert_congruent(A1, A2):
+    s1, s2 = _shell_spectrum(A1), _shell_spectrum(A2)
+    m = min(len(s1), len(s2))
+    assert m > 10
+    assert abs(len(s1) - len(s2)) <= 2          # cutoff-shell ties only
+    np.testing.assert_allclose(s1[:m], s2[:m], atol=1e-9)
+    assert np.isclose(abs(np.linalg.det(A1)), abs(np.linalg.det(A2)))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(a=0.5, b=1.0, c=1.05, alpha=np.deg2rad(55.0)),   # r3 fallback case
+    dict(a=1.0, b=0.8, c=2.0, alpha=np.deg2rad(20.0)),    # strong c-skew
+    dict(a=1.0, b=1.1, c=1.3, alpha=np.deg2rad(105.0)),   # obtuse alpha
+    dict(a=2.0, b=1.0, c=4.0, alpha=np.deg2rad(150.0)),   # both
+    dict(a=0.6, b=1.3, c=5.0, alpha=np.deg2rad(10.0)),    # extreme skew
+])
+def test_mclc_cell_normalization(kw):
+    """Out-of-convention MCLC cells (obtuse α, c·cosα > b/2) are
+    reduced into the S&C regime by lattice-preserving moves, so the
+    encoded point tables apply instead of the generic-path fallback
+    (round-4 gap closure). The normalized cell must generate a lattice
+    congruent to the naive one."""
+    lat = make_lattice("MCLC", **kw)
+    assert not lat.generic_path, (lat.variant, kw)
+    _bz_boundary_ok(lat)
+    a, b, c, al = kw["a"], kw["b"], kw["c"], kw["alpha"]
+    A_naive = np.array([[a / 2, b / 2, 0], [-a / 2, b / 2, 0],
+                        [0, c * np.cos(al), c * np.sin(al)]])
+    _assert_congruent(A_naive, lat.A)
+    # and the normalized parameters really are conventional
+    p = lat.params
+    assert p["alpha"] <= np.pi / 2 + 1e-12
+    assert p["c"] * np.cos(p["alpha"]) <= p["b"] / 2 + 1e-9
+    # params round-trip: rebuilding from the reported conventional cell
+    # reproduces the identical basis (normalization is idempotent)
+    lat2 = make_lattice("MCLC", **{k: p[k] for k in "abc"},
+                        alpha=p["alpha"])
+    np.testing.assert_allclose(lat2.A, lat.A, atol=1e-12)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(b=1.5, c=1.1, alpha=np.deg2rad(75.0)),    # b > c
+    dict(b=1.1, c=1.3, alpha=np.deg2rad(110.0)),   # obtuse (was silently
+    dict(b=0.8, c=3.0, alpha=np.deg2rad(15.0)),    # off-BZ before r4 —
+    dict(b=2.5, c=0.7, alpha=np.deg2rad(160.0)),   # MCL had no guard)
+])
+def test_mcl_cell_normalization(kw):
+    """MCL cells outside the S&C convention (b > c, obtuse α, strong
+    skew) are Gauss-reduced into it; previously these silently emitted
+    off-BZ 'symmetry' points (MCL had no _path_on_bz guard)."""
+    lat = make_lattice("MCL", **kw)
+    assert not lat.generic_path
+    _bz_boundary_ok(lat)
+    b, c, al = kw["b"], kw["c"], kw["alpha"]
+    A_naive = np.array([[1.0, 0, 0], [0, b, 0],
+                        [0, c * np.cos(al), c * np.sin(al)]])
+    _assert_congruent(A_naive, lat.A)
+    p = lat.params
+    assert p["b"] <= p["c"] + 1e-12 and p["alpha"] <= np.pi / 2 + 1e-12
