@@ -61,6 +61,15 @@ def main():
                     help="warm-chain mode: consecutive k-points solved "
                     "sequentially INSIDE one launch (amortizes the "
                     "~116 ms axon launch+fetch round-trip)")
+    ap.add_argument("--pc-mode", choices=["per-k", "chain-mid",
+                                          "batched"],
+                    default="per-k",
+                    help="warm-chain preconditioner: 'per-k' exact "
+                    "build inside each step, 'chain-mid' one stale pc "
+                    "per launch, 'batched' exact per-k pcs built in ONE "
+                    "chain-wide batched-Cholesky call before the scan "
+                    "(amortizes the latency-bound ~45 ms/k setup at "
+                    "chain x ~150 MB HBM)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="batched mode: k-points per launch (bounds "
                     "program size; 0 = all nk in one launch)")
@@ -219,7 +228,8 @@ def main():
     elif args.mode == "warm-seg":
         res = sweep.run_warm_sharded(kc, segments=args.segments)
     elif args.mode == "warm-chain":
-        res = sweep.run_warm_chain(kc, chain=args.chain)
+        res = sweep.run_warm_chain(kc, chain=args.chain,
+                                   precond=args.pc_mode)
     else:
         res = sweep.run(kc, chunk=args.chunk or None)
     # Steady-state k-points: wall_s excludes the first launch (compile);
@@ -244,7 +254,8 @@ def main():
         # one, so wall_s stays 0 — re-run the cached program.
         res2 = (sweep.run_warm_sharded(kc, segments=args.segments)
                 if args.mode == "warm-seg"
-                else sweep.run_warm_chain(kc, chain=args.chain))
+                else sweep.run_warm_chain(kc, chain=args.chain,
+                                          precond=args.pc_mode))
         wall = res2.compile_s + res2.wall_s
         n_steady = kp.nk
         res.wall_s = wall

@@ -356,7 +356,8 @@ class BandSweep:
     def run_warm_chain(self, k_cart: np.ndarray, chain: int = 4,
                        writer=None,
                        k_index: Optional[np.ndarray] = None,
-                       reuse_precond: bool = False) -> SweepResult:
+                       reuse_precond: bool = False,
+                       precond: str = "per-k") -> SweepResult:
         """Warm sweep with ``chain`` consecutive k-points solved
         SEQUENTIALLY inside one launch (lax.scan carrying the
         eigenvector block on device). Same warm-start iteration counts
@@ -380,18 +381,50 @@ class BandSweep:
         need_X = self.keep_vectors or not (
             self.refine and self._has_support)
 
+        if reuse_precond and precond == "per-k":
+            precond = "chain-mid"
+        if precond not in ("per-k", "chain-mid", "batched"):
+            raise ValueError(f"unknown precond mode {precond!r}")
+
         if self._jit_chain is None:
             build_pc = (getattr(self._solve_fn, "build_pc", None)
-                        if reuse_precond else None)
+                        if precond != "per-k" else None)
+            if build_pc is None:
+                precond = "per-k"
 
             def chain_fn(X0, ks):
-                # Preconditioner built ONCE per launch at the chain's
-                # middle k and reused for all `chain` solves (staleness
-                # ≤ chain/2 k-steps costs at most a few iterations; the
-                # build is ~43 ms of the ~190 ms per-k device solve at
-                # the headline size). The per-k projector stays exact.
+                # Preconditioner modes:
+                #   per-k     — built inside each scan step (exact).
+                #   chain-mid — built ONCE per launch at the chain's
+                #               middle k and reused (staleness ≤ chain/2
+                #               k-steps; measured to DOUBLE iterations at
+                #               chain 8 — kept for small chains only).
+                #   batched   — built for ALL chain k in one vmapped
+                #               batched-Cholesky call before the scan:
+                #               every solve still gets ITS OWN exact-k
+                #               preconditioner (identical iterations to
+                #               per-k), but the latency-bound per-k
+                #               build (~45 ms at n=8 p=4, the largest
+                #               remaining per-k device setup term) is
+                #               issued as one chain-wide batch. Costs
+                #               chain× the pc working set (~150 MB/k at
+                #               the headline size). The per-k projector
+                #               stays exact in every mode.
+                if precond == "batched":
+                    pcs = jax.vmap(lambda kk: build_pc(self.op, kk))(ks)
+
+                    def step(X, xk):
+                        k, pc = xk
+                        out = self._solve(X, k, pc=pc)
+                        ys = ((out[0], out[1], out[2])
+                              + ((out[3],) if need_X else ())
+                              + ((out[4],) if len(out) > 4 else ()))
+                        return out[3], ys
+                    Xl, ys = jax.lax.scan(step, X0, (ks, pcs))
+                    return (Xl,) + ys
+
                 pc = (build_pc(self.op, ks[chain // 2])
-                      if build_pc is not None else None)
+                      if precond == "chain-mid" else None)
 
                 def step(X, k):
                     out = self._solve(X, k, pc=pc)
