@@ -182,6 +182,7 @@ def run(cfg, log=print):
         res = sweep.run_warm(kcart, writer=writer, k_index=todo_np)
     elif cfg.mode == "warm-chain":
         res = sweep.run_warm_chain(kcart, chain=cfg.chain,
+                                   precond=cfg.pc_mode,
                                    writer=writer, k_index=todo_np)
     else:
         res = sweep.run(kcart, mesh=mesh, writer=writer, k_index=todo_np)

@@ -57,6 +57,10 @@ class RunConfig:
     # execution
     mode: str = "warm"               # "warm" | "batched" | "warm-chain"
     chain: int = 4                   # warm-chain: k-points per launch
+    #: warm-chain preconditioner build: "per-k" | "chain-mid" |
+    #: "batched" (exact per-k pcs in one chain-wide batched call —
+    #: identical iteration path to per-k, execution-only)
+    pc_mode: str = "per-k"
     shard: bool = False              # shard k axis over all devices
     #: Maxwell solver engine: "auto" | "spectral" | "field" | "gmg"
     engine: str = "auto"
@@ -77,7 +81,7 @@ class RunConfig:
     #: discretization-error level, so a resume across engines would
     #: silently mix two discretizations in one band table (ADVICE r2 #2).
     _EXECUTION_FIELDS = ("out", "resume", "plot", "mode", "chain",
-                         "shard", "save_modes")
+                         "pc_mode", "shard", "save_modes")
 
     def identity_dict(self) -> Dict:
         """The config subset that identifies a run's RESULTS — used for
