@@ -62,14 +62,16 @@ def main():
                     "sequentially INSIDE one launch (amortizes the "
                     "~116 ms axon launch+fetch round-trip)")
     ap.add_argument("--pc-mode", choices=["per-k", "chain-mid",
-                                          "batched"],
+                                          "batched", "batched-setup"],
                     default="per-k",
                     help="warm-chain preconditioner: 'per-k' exact "
                     "build inside each step, 'chain-mid' one stale pc "
                     "per launch, 'batched' exact per-k pcs built in ONE "
                     "chain-wide batched-Cholesky call before the scan "
                     "(amortizes the latency-bound ~45 ms/k setup at "
-                    "chain x ~150 MB HBM)")
+                    "chain x ~150 MB HBM), 'batched-setup' hoists the "
+                    "FULL per-k setup (stencil blocks + projector + pc, "
+                    "~85 ms/k) at chain x ~520 MB HBM")
     ap.add_argument("--chunk", type=int, default=0,
                     help="batched mode: k-points per launch (bounds "
                     "program size; 0 = all nk in one launch)")

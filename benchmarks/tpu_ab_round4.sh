@@ -1,0 +1,65 @@
+#!/bin/bash
+# Round-4 queued TPU A/B measurements (docs/STATUS.md §0/§0a: "TPU A/B
+# queued behind the outage"). Run from the repo root on a healthy axon
+# chip, with NO concurrent CPU-heavy jobs (CLAUDE.md host-starvation
+# rule). Each run is bounded; results land in results/ab_r4/*.json.
+#
+#   bash benchmarks/tpu_ab_round4.sh [--quick]
+#
+# --quick: headline A/Bs only (skip dielectric/rods2d, which pay a
+# ~2 min cold-compile each when .jax_cache is cold).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p results/ab_r4
+
+run() {
+  local name="$1"; shift
+  local tmo="$1"; shift
+  echo "=== $name: python bench.py $* (timeout ${tmo}s)" >&2
+  if timeout "$tmo" python bench.py "$@" > "results/ab_r4/$name.json" 2> "results/ab_r4/$name.log"; then
+    tail -1 "results/ab_r4/$name.json"
+  else
+    echo "FAILED/TIMEOUT: $name (see results/ab_r4/$name.log)" >&2
+  fi
+}
+
+QUICK=${1:-}
+
+# 0. Headline control (the recorded 6.09/s configuration).
+run warm_control 900
+
+# 1. warm-chain batched-pc vs per-k vs warm (§0a: the ~45 ms/k pc build
+#    issued once per launch; parity-gated in tests).
+run chain8_batched 900 --mode warm-chain --chain 8 --pc-mode batched --nk 32
+run chain8_bsetup  900 --mode warm-chain --chain 8 --pc-mode batched-setup --nk 32
+run chain4_bsetup  900 --mode warm-chain --chain 4 --pc-mode batched-setup --nk 32
+run chain8_perk    900 --mode warm-chain --chain 8 --pc-mode per-k   --nk 32
+
+# 2. pc_rep factor vs inv (§0: skips the ~29 GFLOP YcᴴYc per k for one
+#    extra skinny GEMM per iteration).
+run warm_pcfactor  900 --pc-rep factor
+
+# 3. Fused-sweep Pallas Jacobi (opt-in; d5523c3): the measured
+#    ~12.6 ms/iter dispatch floor candidate fix.
+echo "=== pallas_jacobi: BRAVAIS_JACOBI_PALLAS=1 python bench.py" >&2
+if BRAVAIS_JACOBI_PALLAS=1 timeout 900 python bench.py \
+     > results/ab_r4/warm_pallas_jacobi.json 2> results/ab_r4/warm_pallas_jacobi.log; then
+  tail -1 results/ab_r4/warm_pallas_jacobi.json
+else
+  echo "FAILED/TIMEOUT: warm_pallas_jacobi" >&2
+fi
+
+if [ "$QUICK" = "--quick" ]; then exit 0; fi
+
+# 4. Dielectric config 3: warm (re-record) vs batched (CPU-verified
+#    parity 5.6e-8; vmap-over-k amortizes the per-op dispatch latency
+#    that dominates this small-dof field-engine path).
+run diel_warm     1800 --problem dielectric
+run diel_batched  1800 --problem dielectric --mode batched
+run diel_batched8 1800 --problem dielectric --mode batched --chunk 8
+run diel_chain4   1800 --problem dielectric --mode warm-chain --chain 4
+
+# 5. Config-2 rods2d (first TPU record for the 2D dielectric axis).
+run rods2d_warm   1200 --problem rods2d
+
+echo "=== done; results in results/ab_r4/" >&2

@@ -121,10 +121,12 @@ class BandSweep:
         engine) enabling the fast exact f64 refine (spectral_refine_np)."""
         return bool(getattr(self._solve_fn, "provides_support", False))
 
-    def _solve(self, X0_reim, k, pc=None):
+    def _solve(self, X0_reim, k, pc=None, setup=None):
         X0 = from_reim(X0_reim)
         if self._solve_fn is not None:
             kw = {} if pc is None else {"pc": pc}
+            if setup is not None:
+                kw["setup"] = setup
             r = self._solve_fn(self.op, X0, k, self.nev, self.tol,
                                self.maxiter, self._make_precond(k), **kw)
             if self._has_support:
@@ -383,12 +385,17 @@ class BandSweep:
 
         if reuse_precond and precond == "per-k":
             precond = "chain-mid"
-        if precond not in ("per-k", "chain-mid", "batched"):
+        if precond not in ("per-k", "chain-mid", "batched",
+                           "batched-setup"):
             raise ValueError(f"unknown precond mode {precond!r}")
 
         if self._jit_chain is None:
             build_pc = (getattr(self._solve_fn, "build_pc", None)
                         if precond != "per-k" else None)
+            build_setup = (getattr(self._solve_fn, "build_setup", None)
+                           if precond == "batched-setup" else None)
+            if precond == "batched-setup" and build_setup is None:
+                precond = "batched"   # engine has no setup hook
             if build_pc is None:
                 precond = "per-k"
 
@@ -410,6 +417,27 @@ class BandSweep:
                 #               chain× the pc working set (~150 MB/k at
                 #               the headline size). The per-k projector
                 #               stays exact in every mode.
+                #   batched-setup — like "batched" but hoists the FULL
+                #               per-k setup (stencil blocks + projector
+                #               factor + pc; ~85 ms/k latency-bound at
+                #               n=8 p=4) into one vmapped pre-scan
+                #               build, at chain× the setup working set
+                #               (~520 MB/k headline). Iteration path
+                #               identical to per-k (parity-gated).
+                if precond == "batched-setup":
+                    setups = jax.vmap(
+                        lambda kk: build_setup(self.op, kk))(ks)
+
+                    def step(X, xk):
+                        k, su = xk
+                        out = self._solve(X, k, setup=su)
+                        ys = ((out[0], out[1], out[2])
+                              + ((out[3],) if need_X else ())
+                              + ((out[4],) if len(out) > 4 else ()))
+                        return out[3], ys
+                    Xl, ys = jax.lax.scan(step, X0, (ks, setups))
+                    return (Xl,) + ys
+
                 if precond == "batched":
                     pcs = jax.vmap(lambda kk: build_pc(self.op, kk))(ks)
 

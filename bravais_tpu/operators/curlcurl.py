@@ -1294,23 +1294,14 @@ class BlochCurlCurl:
                 return Yc
             return jnp.conj(jnp.swapaxes(Yc, -1, -2)) @ Yc
 
-        def solve(op, X0, k, nev, tol, maxiter, precond_in, pc=None):
-            fd = op.fastdiag_G()
-            theta = fd._theta(k)
-            F = fd._fwd_mats(theta)
-            TA = fd.blocks([("A", 1.0)], k)
-            TM = fd.blocks([("M", 1.0)], k)
-            TG = fd.blocks([("G", 1.0)], k)          # (B, Dnd, Dh1)
-            TGH = jnp.conj(jnp.swapaxes(TG, -1, -2))
-            # (A+sM)⁻¹ via Cholesky (HPD): half the LU-inverse cost on
-            # TPU (measured 49 vs 110 ms at n=8 p=4); preconditioner-
-            # level accuracy is all that's needed. ``pc``: a prebuilt
-            # (possibly neighboring-k) block inverse from build_pc.
-            Tpc = build_pc(op, k, (TA, TM)) if pc is None else pc
+        def bmv(T, x):
+            return jnp.einsum("bij,bj->bi", T, x)
 
-            def bmv(T, x):
-                return jnp.einsum("bij,bj->bi", T, x)
-
+        def proj_state(TM, TG, TGH):
+            """k-dependent factor/spectral state of the exact gradient
+            projector (the ~14 ms piece of per-k setup) — split out so
+            ``build_setup`` can batch it chain-wide (vmap) exactly like
+            the preconditioner blocks."""
             if proj_method == "chol":
                 # Direct Cholesky of L = ĜᴴM̂Ĝ (Dh1×Dh1) — 3× cheaper
                 # to build than the Cholesky-QR route (measured 13 vs
@@ -1323,7 +1314,6 @@ class BlochCurlCurl:
                 # directions at/below δ (the exact-Γ harmonic) are
                 # zeroed via the same huge-diagonal trick as the QR
                 # guard rather than amplified by 1/δ.
-                import jax.scipy.linalg as jsl
                 Lb = TGH @ (TM @ TG)                # (B, Dh1, Dh1)
                 trm = jnp.real(jnp.trace(Lb, axis1=-2, axis2=-1)
                                ) / Lb.shape[-1]
@@ -1343,17 +1333,9 @@ class BlochCurlCurl:
                 dfloor = jnp.maximum(delta, jnp.asarray(
                     jnp.finfo(self.rdtype).tiny, self.rdtype))
                 tiny = (dg * dg) <= (2.0 * dfloor)[:, None]
-                Rl = Rl + ((tiny * big).astype(Rl.dtype)[..., None]
-                           * jnp.eye(Rl.shape[-1], dtype=Rl.dtype))
-
-                def proj(x):
-                    r = bmv(TGH, bmv(TM, x))
-                    z = jsl.solve_triangular(Rl, r[..., None],
-                                             lower=True)
-                    phi = jsl.solve_triangular(Rl, z, lower=True,
-                                               trans='C')
-                    return bmv(TG, phi[..., 0])
-            elif proj_method == "qr":
+                return Rl + ((tiny * big).astype(Rl.dtype)[..., None]
+                             * jnp.eye(Rl.shape[-1], dtype=Rl.dtype))
+            if proj_method == "qr":
                 # Cholesky-QR projector: W = chol(M̂)ᴴ Ĝ = QR gives
                 # L = ĜᴴM̂Ĝ = RᴴR, so L⁻¹ = R⁻¹R⁻ᴴ via two batched
                 # triangular solves. κ(R) = √κ(L) — numerically on par
@@ -1363,7 +1345,6 @@ class BlochCurlCurl:
                 # exact-Γ harmonic point) guarded by pushing tiny R
                 # diagonals to a huge value, which zeroes those
                 # directions in the solve — the pinv truncation.
-                import jax.scipy.linalg as jsl
                 C = jnp.linalg.cholesky(TM)
                 W = jnp.conj(jnp.swapaxes(C, -1, -2)) @ TG
                 _, Rq = jnp.linalg.qr(W)
@@ -1371,8 +1352,28 @@ class BlochCurlCurl:
                 big = jnp.max(dg) / jnp.asarray(
                     jnp.finfo(self.rdtype).eps, self.rdtype)
                 tiny = dg < 1e-7 * jnp.max(dg, axis=-1, keepdims=True)
-                Rq = Rq + ((tiny * big).astype(Rq.dtype)[..., None]
-                           * jnp.eye(Rq.shape[-1], dtype=Rq.dtype))
+                return Rq + ((tiny * big).astype(Rq.dtype)[..., None]
+                             * jnp.eye(Rq.shape[-1], dtype=Rq.dtype))
+            Lb = TGH @ TM @ TG                        # (B, Dh1, Dh1)
+            w, V = jacobi_eigh(Lb)
+            good = w > 0.0
+            winv = jnp.where(good, 1.0 / jnp.where(good, w, 1.0), 0.0)
+            return (winv, V)
+
+        def make_proj(TM, TG, TGH, pst):
+            import jax.scipy.linalg as jsl
+            if proj_method == "chol":
+                Rl = pst
+
+                def proj(x):
+                    r = bmv(TGH, bmv(TM, x))
+                    z = jsl.solve_triangular(Rl, r[..., None],
+                                             lower=True)
+                    phi = jsl.solve_triangular(Rl, z, lower=True,
+                                               trans='C')
+                    return bmv(TG, phi[..., 0])
+            elif proj_method == "qr":
+                Rq = pst
 
                 def proj(x):
                     r = bmv(TGH, bmv(TM, x))
@@ -1381,20 +1382,57 @@ class BlochCurlCurl:
                     phi = jsl.solve_triangular(Rq, z, lower=False)
                     return bmv(TG, phi[..., 0])
             else:
-                Lb = TGH @ TM @ TG                    # (B, Dh1, Dh1)
-                w, V = jacobi_eigh(Lb)
-                good = w > 0.0
-                winv = jnp.where(good, 1.0 / jnp.where(good, w, 1.0),
-                                 0.0)
+                winv, V = pst
                 VH = jnp.conj(jnp.swapaxes(V, -1, -2))
 
                 def proj(x):
                     r = bmv(TGH, bmv(TM, x))
                     phi = bmv(V, winv.astype(x.dtype) * bmv(VH, r))
                     return bmv(TG, phi)
+            return proj
+
+        def build_setup(op, k):
+            """The FULL per-k device setup as one vmappable pytree:
+            (TA, TM, TG) stencil blocks, (A+sM)⁻¹ preconditioner, and
+            the gradient-projector factor. Chain launches build this
+            for every chain k in ONE batched call before the scan
+            (sweep pc-mode "batched-setup"), amortizing the whole
+            latency-bound ~85 ms/k setup (STATUS §6 gap 1: ~45 ms pc +
+            ~14 ms projector + ~9 ms assembly) at the price of chain×
+            the setup working set (~520 MB/k at the n=8 p=4 headline:
+            3×(B,D,D) + (B,D,Dh1) + (B,Dh1,Dh1) complex64)."""
+            fd = op.fastdiag_G()
+            TA = fd.blocks([("A", 1.0)], k)
+            TM = fd.blocks([("M", 1.0)], k)
+            TG = fd.blocks([("G", 1.0)], k)          # (B, Dnd, Dh1)
+            TGH = jnp.conj(jnp.swapaxes(TG, -1, -2))
+            Tpc = build_pc(op, k, (TA, TM))
+            return (TA, TM, TG, Tpc, proj_state(TM, TG, TGH))
+
+        def solve(op, X0, k, nev, tol, maxiter, precond_in, pc=None,
+                  setup=None):
+            fd = op.fastdiag_G()
+            theta = fd._theta(k)
+            F = fd._fwd_mats(theta)
+            if setup is not None:
+                TA, TM, TG, Tpc, pst = setup
+                TGH = jnp.conj(jnp.swapaxes(TG, -1, -2))
+            else:
+                TA = fd.blocks([("A", 1.0)], k)
+                TM = fd.blocks([("M", 1.0)], k)
+                TG = fd.blocks([("G", 1.0)], k)      # (B, Dnd, Dh1)
+                TGH = jnp.conj(jnp.swapaxes(TG, -1, -2))
+                # (A+sM)⁻¹ via Cholesky (HPD): half the LU-inverse cost
+                # on TPU (measured 49 vs 110 ms at n=8 p=4);
+                # preconditioner-level accuracy is all that's needed.
+                # ``pc``: a prebuilt (possibly neighboring-k) block
+                # inverse from build_pc.
+                Tpc = build_pc(op, k, (TA, TM)) if pc is None else pc
+                pst = proj_state(TM, TG, TGH)
+            proj = make_proj(TM, TG, TGH, pst)
 
             if pc_rep == "factor":
-                def pc(R):
+                def pcond(R):
                     # Tpc is the triangular factor Yc = L⁻¹:
                     # (A+sM)⁻¹R = Ycᴴ(Yc·R) — adjoint GEMM via einsum
                     # (no materialized (B, D, D) transpose).
@@ -1402,15 +1440,16 @@ class BlochCurlCurl:
                                    bmv(Tpc, R))
                     return z - proj(z)
             else:
-                def pc(R):
+                def pcond(R):
                     z = bmv(Tpc, R)
                     return z - proj(z)
 
             X0b = jax.vmap(lambda x: fd.to_blocks(x, F))(X0)
             X0b = X0b - jax.vmap(proj)(X0b)
             res = lobpcg(lambda x: bmv(TA, x), lambda x: bmv(TM, x),
-                         X0b, nev, maxiter=maxiter, tol=tol, precond=pc,
-                         scale_floor=sfloor, kernel_project=proj)
+                         X0b, nev, maxiter=maxiter, tol=tol,
+                         precond=pcond, scale_floor=sfloor,
+                         kernel_project=proj)
             # Block support of each converged row — the tiny (m, B)
             # array the f64 spectral refine needs instead of the full
             # eigenvector block (spectral_refine_np).
@@ -1422,6 +1461,7 @@ class BlochCurlCurl:
         solve.provides_support = True
         solve.refine_np = self.spectral_refine_np
         solve.build_pc = build_pc
+        solve.build_setup = build_setup
         return solve
 
     # ------------------------------------------------------------------

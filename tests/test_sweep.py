@@ -243,3 +243,35 @@ def test_warm_chain_batched_pc_matches_per_k():
     np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_array_equal(res.iterations, ref.iterations)
+
+
+def test_warm_chain_batched_setup_matches_per_k():
+    """precond='batched-setup' hoists the FULL per-k setup (TA/TM/TG
+    stencil blocks + gradient-projector factor + preconditioner) into
+    one vmapped pre-scan build (round-4: STATUS §6 gap 1 — the whole
+    ~85 ms/k latency-bound setup, not just the pc's 45 ms). Purely a
+    scheduling change: the iteration path and eigenvalues must match
+    the per-k build exactly."""
+    import jax.numpy as jnp
+
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lat = make_lattice("FCC")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
+    op = BlochCurlCurl(sp, dtype=jnp.complex128)
+    kp = kpath(lat, npts=7, path=[["G", "X", "W"]])  # 7 % 3 -> padding
+    kc = kp.k_cart.copy()
+    for i in range(kc.shape[0]):
+        if np.linalg.norm(kc[i]) < 1e-12:
+            kc[i] = 2e-2 * lat.B[0]
+
+    def mk():
+        return BandSweep(op, nev=4, block=8, tol=1e-8, maxiter=200,
+                         solve_fn=op.make_solve_fn(engine="spectral"))
+
+    res = mk().run_warm_chain(kc, chain=3, precond="batched-setup")
+    ref = mk().run_warm_chain(kc, chain=3)            # per-k build
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(res.iterations, ref.iterations)
