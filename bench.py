@@ -351,6 +351,16 @@ def main():
             "nk": kp.nk,
             "dofs": sp.ndofs,
             "mode": args.mode,
+            # Mode-specific knobs, so recorded A/B lines are
+            # self-describing (round-4 A/B harness).
+            "chain": (args.chain if args.mode == "warm-chain" else None),
+            "pc_mode": (args.pc_mode if args.mode == "warm-chain"
+                        else None),
+            "segments": (args.segments if args.mode == "warm-seg"
+                         else None),
+            "pc_rep": (args.pc_rep if args.engine == "spectral"
+                       else None),
+            "device_tol": args.device_tol or None,
             "compile_s": round(res.compile_s, 2),
             "steady_wall_s": round(res.wall_s, 3),
             "total_wall_s": round(total, 2),

@@ -59,7 +59,9 @@ class RunConfig:
     chain: int = 4                   # warm-chain: k-points per launch
     #: warm-chain preconditioner build: "per-k" | "chain-mid" |
     #: "batched" (exact per-k pcs in one chain-wide batched call —
-    #: identical iteration path to per-k, execution-only)
+    #: identical iteration path to per-k, execution-only) |
+    #: "batched-setup" (hoists the FULL per-k spectral setup —
+    #: stencil blocks + projector + pc — chain-wide; also exact)
     pc_mode: str = "per-k"
     shard: bool = False              # shard k axis over all devices
     #: Maxwell solver engine: "auto" | "spectral" | "field" | "gmg"

@@ -633,22 +633,48 @@ class BlochCurlCurl:
         if not hasattr(self, "_fd"):
             from bravais_tpu.operators.fastdiag import FastDiag
             sp = self.space
+            # Constant coefficients (the exact empty-lattice case AND
+            # the varying-ε mean twin): probe the k=0 applies on the
+            # shrunken same-Jacobian twin grid — identical stencils at
+            # O((3/n)³) the host probing cost (grid.stencil_twin).
+            # Element-invariant CALLABLE coefficients keep the
+            # production grid (the twin grid spans a different
+            # physical region).
+            shrink = (all(n >= 3 for n in sp.grid.shape)
+                      and any(n > 3 for n in sp.grid.shape))
             if self._coef_elem_invariant():
-                twin = self
+                if (shrink and not callable(self._eps_fn)
+                        and not callable(self._mu_inv_fn)
+                        and np.ndim(self._eps_fn) == 0
+                        and np.ndim(self._mu_inv_fn) == 0):
+                    twin = BlochCurlCurl(
+                        NedelecSpace.make(sp.grid.stencil_twin(), sp.p,
+                                          sp.q),
+                        eps=float(self._eps_fn),
+                        mu_inv=float(self._mu_inv_fn),
+                        dtype=self.dtype)
+                else:
+                    twin = self
             else:
+                tsp = (NedelecSpace.make(sp.grid.stencil_twin(), sp.p,
+                                         sp.q) if shrink else sp)
                 twin = BlochCurlCurl(
-                    sp, eps=float(np.mean(self._eps_q64)),
+                    tsp, eps=float(np.mean(self._eps_q64)),
                     mu_inv=float(np.mean(self._mu_inv_q64)),
                     dtype=self.dtype)
             k0 = np.zeros(3)
             fd = FastDiag(sp.grid.shape, sp.p, 3, self.A_rows, self.dtype)
             ck = (sp.q, np.asarray(twin._eps_q64).tobytes(),
                   np.asarray(twin._mu_inv_q64).tobytes())
+            tshape = twin.space.grid.shape
             fd.add_stencil("A", lambda u: twin.apply_A_np(u, k0),
-                           cache_key=("ccA",) + ck)
+                           cache_key=("ccA",) + ck,
+                           extract_shape=tshape)
             fd.add_stencil("M", lambda u: twin.apply_M_np(u, k0),
-                           cache_key=("ccM",) + ck)
+                           cache_key=("ccM",) + ck,
+                           extract_shape=tshape)
             self._fd = fd
+            self._fd_twin = twin
         return self._fd
 
     def fastdiag_L(self):
@@ -659,14 +685,23 @@ class BlochCurlCurl:
             from bravais_tpu.operators.qplaplace import QPLaplace
             eps = (self._eps_fn if self._coef_elem_invariant()
                    else float(np.mean(self._eps_q64)))
-            qpl = QPLaplace(self.h1, alpha=eps, dtype=self.dtype)
+            sp = self.h1
+            # Constant ε: probe on the shrunken same-Jacobian twin
+            # grid (see fastdiag(); identical stencils, ~seconds of
+            # host setup instead of minutes).
+            if (all(n >= 3 for n in sp.grid.shape)
+                    and any(n > 3 for n in sp.grid.shape)
+                    and not callable(eps) and np.ndim(eps) == 0):
+                sp = H1Space.make(sp.grid.stencil_twin(), sp.p, sp.q)
+            qpl = QPLaplace(sp, alpha=eps, dtype=self.dtype)
             fd = FastDiag(self.h1.grid.shape, self.h1.p, 1, self.A_rows,
                           self.dtype)
             k0 = np.zeros(3)
             fd.add_stencil(
                 "L", lambda u: qpl.apply_A_np(u, k0),
                 cache_key=("ccL", self.h1.q,
-                           np.asarray(qpl._alpha_q64).tobytes()))
+                           np.asarray(qpl._alpha_q64).tobytes()),
+                extract_shape=sp.grid.shape)
             self._fdL = fd
         return self._fdL
 
@@ -680,11 +715,14 @@ class BlochCurlCurl:
                 _disk_cached, extract_stencil_rect)
             k0 = np.zeros(3)
             sp = self.space
+            # G is coefficient-free — always probe on the fastdiag
+            # twin's (possibly shrunken same-Jacobian) grid.
+            twin = getattr(self, "_fd_twin", self)
             fd.stencils["G"] = _disk_cached(
                 ("ccG", sp.grid.shape, sp.p, self.A_rows.tobytes()),
                 lambda: extract_stencil_rect(
-                    lambda u: self.apply_Gk_np(u, k0), 3, 1,
-                    sp.grid.shape, sp.p))
+                    lambda u: twin.apply_Gk_np(u, k0), 3, 1,
+                    twin.space.grid.shape, twin.space.p))
         return fd
 
     def spectral_refine_np(self, support: np.ndarray, k: np.ndarray,

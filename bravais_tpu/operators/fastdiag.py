@@ -183,15 +183,22 @@ class FastDiag:
         self.stencils: dict[str, np.ndarray] = {}
 
     def add_stencil(self, name: str, apply0: Callable,
-                    cache_key=None) -> "FastDiag":
+                    cache_key=None, extract_shape=None) -> "FastDiag":
         """Extract (or load) the k=0 stencil. ``cache_key``: any
         picklable object fully determining the stencil (operator
         coefficients, grid, order) — enables the disk cache (stencil
         extraction probes hundreds of f64 host applies, ~minutes of
-        single-core time per fresh process at production sizes)."""
+        single-core time per fresh process at production sizes).
+        ``extract_shape``: probe on a SMALLER grid than the production
+        one — ``apply0`` must then be the operator twin on a
+        ``PeriodicGrid.stencil_twin`` grid (same element Jacobian,
+        element-invariant coefficients), whose stencils are identical
+        at a fraction of the probing cost."""
+        shp = (tuple(int(n) for n in extract_shape)
+               if extract_shape is not None else self.shape)
+
         def compute():
-            return extract_stencil(apply0, self.ncomp, self.shape,
-                                   self.p)
+            return extract_stencil(apply0, self.ncomp, shp, self.p)
         self.stencils[name] = (_disk_cached(
             ("stencil", name, self.shape, self.p, self.ncomp,
              self.A_rows.tobytes(), cache_key), compute)

@@ -185,8 +185,19 @@ class BlochHelmholtz:
             else:
                 al = float(np.mean(self._alpha_q64))
                 be = float(np.mean(self._beta_q64))
-            stiff = QPLaplace(sp, alpha=al, dtype=self.dtype)
-            mass = QPLaplace(sp, alpha=0.0, beta=be, shift=1.0,
+            # Constant coefficients: probe the k=0 applies on the
+            # shrunken same-Jacobian twin grid — identical stencils at
+            # O((3/n)^d) the host probing cost (grid.stencil_twin;
+            # covers every production FastDiag: empty-lattice exact and
+            # varying-coefficient mean twins are both constants).
+            ext_sp = sp
+            if (all(n >= 3 for n in sp.grid.shape)
+                    and any(n > 3 for n in sp.grid.shape)
+                    and not callable(al) and not callable(be)
+                    and np.ndim(al) == 0 and np.ndim(be) == 0):
+                ext_sp = H1Space.make(sp.grid.stencil_twin(), sp.p, sp.q)
+            stiff = QPLaplace(ext_sp, alpha=al, dtype=self.dtype)
+            mass = QPLaplace(ext_sp, alpha=0.0, beta=be, shift=1.0,
                              dtype=self.dtype)
             fd = FastDiag(sp.grid.shape, sp.p, 1,
                           sp.grid.lattice.A, self.dtype)
@@ -194,11 +205,13 @@ class BlochHelmholtz:
             fd.add_stencil(
                 "A", lambda u: stiff.apply_A_np(u, k0),
                 cache_key=("h1A", sp.q,
-                           np.asarray(stiff._alpha_q64).tobytes()))
+                           np.asarray(stiff._alpha_q64).tobytes()),
+                extract_shape=ext_sp.grid.shape)
             fd.add_stencil(
                 "M", lambda u: mass.apply_A_np(u, k0),
                 cache_key=("h1M", sp.q,
-                           np.asarray(mass._beta_q64).tobytes()))
+                           np.asarray(mass._beta_q64).tobytes()),
+                extract_shape=ext_sp.grid.shape)
             self._qp_fd = fd
         return self._qp_fd
 
