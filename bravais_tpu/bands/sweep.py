@@ -68,7 +68,7 @@ class BandSweep:
 
     def __init__(self, operator, nev: int = 10, block: Optional[int] = None,
                  tol: float = 1e-6, maxiter: int = 200,
-                 precond="jacobi", seed: int = 0,
+                 precond="auto", seed: int = 0,
                  solve_fn: Optional[Callable] = None,
                  refine: Optional[bool] = None,
                  keep_vectors: bool = False,
@@ -109,10 +109,34 @@ class BandSweep:
     # -- single-k solve (real-valued boundary) ------------------------------
 
     def _make_precond(self, k):
-        if self.precond == "jacobi":
+        pre = self.precond
+        if pre == "auto":
+            # Physics-aware default: varying-coefficient SCALAR
+            # operators need the geometric-MG preconditioner — plain
+            # Jacobi was measured to STALL outright on the stiffness-
+            # contrast TE problem (hex air holes ε=13: residual stuck
+            # at 0.1, stagnation-stop at 32 iterations, garbage bands)
+            # while one V-cycle/iteration converges it in 13 (the
+            # BoomerAMG-replacement role, SURVEY §2.2 #11). Everything
+            # else keeps Jacobi (Maxwell paths bring their own
+            # fastdiag preconditioners through solve_fn).
+            from bravais_tpu.operators.helmholtz import BlochHelmholtz
+            if (isinstance(self.op, BlochHelmholtz)
+                    and not self.op._coef_elem_invariant()):
+                pre = "gmg"
+            else:
+                pre = "jacobi"
+        if pre == "gmg":
+            if not hasattr(self, "_gmg"):
+                from bravais_tpu.eigen.gmg import GMG
+                self._gmg = GMG(self.op.space, alpha=self.op._alpha_fn,
+                                beta=self.op._beta_fn,
+                                dtype=self.op.dtype, fine_op=self.op)
+            return self._gmg.precond(k)
+        if pre == "jacobi":
             return jacobi(self.op.diag_A(k))
-        if callable(self.precond):
-            return self.precond(k)
+        if callable(pre):
+            return pre(k)
         return None
 
     @property

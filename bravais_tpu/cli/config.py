@@ -51,7 +51,12 @@ class RunConfig:
     #: (a different device stop is a different convergence path).
     device_tol: Optional[float] = None
     maxiter: int = 400
-    precond: str = "jacobi"
+    #: "auto" resolves per physics (BandSweep._make_precond): geometric
+    #: MG for varying-coefficient scalar operators (plain Jacobi was
+    #: measured to stagnate at production sizes — hex-holes TE stuck at
+    #: residual 0.1, SQR TM rods at 0.23 — while GMG converges both in
+    #: 7-13 iters/k), Jacobi elsewhere. Identity-affecting by design.
+    precond: str = "auto"
     # precision: "f32" (TPU) | "f64" (CPU oracle runs)
     precision: str = "f32"
     # execution

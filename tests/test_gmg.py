@@ -101,7 +101,11 @@ def test_gmg_in_sweep_dielectric():
     op = BlochHelmholtz(sp, alpha=1.0, beta=eps, dtype=jnp.complex128)
     gmg = GMG(sp, alpha=1.0, beta=eps, dtype=jnp.complex128, fine_op=op)
     k = np.asarray([lat.k_cart((0.5, 0.0))])
-    sj = BandSweep(op, nev=4, tol=1e-8, maxiter=300).run(k)
+    # Pin Jacobi explicitly: the BandSweep default is now "auto", which
+    # resolves varying-coefficient scalar operators to GMG — the very
+    # comparison this test makes.
+    sj = BandSweep(op, nev=4, tol=1e-8, maxiter=300,
+                   precond="jacobi").run(k)
     sg = BandSweep(op, nev=4, tol=1e-8, maxiter=300,
                    precond=gmg.precond).run(k)
     np.testing.assert_allclose(sg.eigenvalues, sj.eigenvalues, rtol=1e-7)
