@@ -34,6 +34,7 @@ run chain8_batched 900 --mode warm-chain --chain 8 --pc-mode batched --nk 32
 run chain8_bsetup  900 --mode warm-chain --chain 8 --pc-mode batched-setup --nk 32
 run chain4_bsetup  900 --mode warm-chain --chain 4 --pc-mode batched-setup --nk 32
 run chain8_perk    900 --mode warm-chain --chain 8 --pc-mode per-k   --nk 32
+run chain16_bsetup 900 --mode warm-chain --chain 16 --pc-mode batched-setup --nk 32
 
 # 2. pc_rep factor vs inv (§0: skips the ~29 GFLOP YcᴴYc per k for one
 #    extra skinny GEMM per iteration).

@@ -413,7 +413,13 @@ class BandSweep:
                            "batched-setup"):
             raise ValueError(f"unknown precond mode {precond!r}")
 
+        # The compiled chain program closes over the pc mode — rebuild
+        # if a later call asks for a different one (a silently reused
+        # wrong-mode program would corrupt A/B comparisons).
+        if getattr(self, "_jit_chain_mode", None) != precond:
+            self._jit_chain = None
         if self._jit_chain is None:
+            self._jit_chain_mode = precond  # requested (pre-downgrade)
             build_pc = (getattr(self._solve_fn, "build_pc", None)
                         if precond != "per-k" else None)
             build_setup = (getattr(self._solve_fn, "build_setup", None)
