@@ -42,18 +42,19 @@ def main():
     ap.add_argument("--block", type=int, default=0,
                     help="LOBPCG block size m (0 = nev + 6)")
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--device-tol", type=float, default=1e-3,
+    ap.add_argument("--device-tol", type=float, default=None,
                     help="explicit DEVICE-loop stopping residual when "
-                    "the exact (spectral-engine) f64 refine is active: "
-                    "the refine is an exact subspace eigensolve — the "
-                    "device loop only identifies support blocks, so a "
-                    "loose stop cuts iterations/k without losing "
-                    "accuracy (measured: identical eig err at 1e-3 vs "
-                    "1e-5 device stops, 10x safety margin to the 1e-2 "
-                    "breakdown; the achieved eig err vs the analytic "
-                    "oracle is still measured and reported in detail). "
-                    "Ignored by non-spectral paths. 0 = keep --tol "
-                    "on device")
+                    "the f64 refine is active. Default is per-engine: "
+                    "1e-3 for the SPECTRAL engine (its refine is an "
+                    "exact subspace eigensolve — identical eig err at "
+                    "1e-3 vs 1e-5 stops, 10x margin to the 1e-2 "
+                    "breakdown) and 1e-4 for FIELD engines (refine is "
+                    "an RR over device vectors: error quadratic in the "
+                    "stop — measured UNCHANGED 5e-8 vs complex128 "
+                    "direct at 1e-4, eps 13/30; "
+                    "benchmarks/exp_field_device_tol.py). The achieved "
+                    "accuracy is still measured and reported in detail. "
+                    "0 = keep --tol on device")
     ap.add_argument("--mode",
                     choices=["warm", "batched", "warm-seg", "warm-chain"],
                     default="warm")
@@ -106,6 +107,13 @@ def main():
     from bravais_tpu.lattices import kpath, make_lattice
     from bravais_tpu.meshing.grid import PeriodicGrid
 
+    def dtol_for(engine):
+        # Per-engine device-stop default (see --device-tol help);
+        # explicit 0 disables (keep --tol on device).
+        if args.device_tol is not None:
+            return args.device_tol or None
+        return 1e-3 if engine == "spectral" else 1e-4
+
     if args.problem == "dielectric":
         # Config 3 (BASELINE.json:9): simple cubic + dielectric sphere,
         # Γ–X–M–R — the reference's bread-and-butter heterogeneous-ε
@@ -130,7 +138,8 @@ def main():
         sweep = BandSweep(op, nev=args.nev,
                           block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
-                          solve_fn=solve_fn)
+                          solve_fn=solve_fn,
+                          device_tol=dtol_for("field"))
         metric = (f"k-point eigensolves/sec (CUB Maxwell G-X-M-R, "
                   f"eps={eps_in:g} sphere r={radius:g}a, "
                   f"{args.nev} bands, n={n} p={p}, solver tol "
@@ -163,7 +172,7 @@ def main():
                           block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
                           solve_fn=solve_fn,
-                          device_tol=args.device_tol or None)
+                          device_tol=dtol_for(args.engine))
         metric = (f"k-point eigensolves/sec (FCC Maxwell G-X-W-L, "
                   f"{args.nev} bands, n={n} p={p}; solver tol {args.tol:g},"
                   f" achieved eig err reported in detail)")
@@ -189,7 +198,8 @@ def main():
                             dtype=jnp.complex64)
         sweep = BandSweep(op, nev=args.nev,
                           block=args.block or args.nev + 6,
-                          tol=args.tol, maxiter=args.maxiter or 400)
+                          tol=args.tol, maxiter=args.maxiter or 400,
+                          device_tol=dtol_for("field"))
         metric = (f"k-point eigensolves/sec (2D SQR TM dielectric "
                   f"rods eps={eps_in:g} r={radius:g}a, {args.nev} "
                   f"bands, n={n} p={p}, tol {args.tol:g})")
@@ -209,7 +219,7 @@ def main():
         sweep = BandSweep(op, nev=args.nev, tol=args.tol,
                           maxiter=args.maxiter or 400,
                           solve_fn=solve_fn,
-                          device_tol=args.device_tol or None)
+                          device_tol=dtol_for(args.engine))
         metric = (f"k-point eigensolves/sec (2D square scalar Helmholtz, "
                   f"{args.nev} bands, eig tol {args.tol:g}, n={n} p={p})")
         mmax, mult = 5, 1
@@ -360,7 +370,7 @@ def main():
                          else None),
             "pc_rep": (args.pc_rep if args.engine == "spectral"
                        else None),
-            "device_tol": args.device_tol or None,
+            "device_tol": dtol_for(args.engine),
             "compile_s": round(res.compile_s, 2),
             "steady_wall_s": round(res.wall_s, 3),
             "total_wall_s": round(total, 2),

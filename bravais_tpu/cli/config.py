@@ -45,10 +45,12 @@ class RunConfig:
     nev: int = 10
     block: Optional[int] = None
     tol: float = 1e-6
-    #: explicit device-loop stopping residual when the exact spectral
-    #: f64 refine is active (see bench.py --device-tol rationale);
-    #: None keeps ``tol`` semantics. Identity-affecting by design
-    #: (a different device stop is a different convergence path).
+    #: explicit device-loop stopping residual when the f64 refine is
+    #: active (see bench.py --device-tol rationale; applies to BOTH
+    #: engines — spectral: accuracy-independent, field: quadratically
+    #: bounded, measured unchanged at 1e-4). None keeps ``tol``
+    #: semantics. Identity-affecting by design (a different device
+    #: stop is a different convergence path).
     device_tol: Optional[float] = None
     maxiter: int = 400
     #: "auto" resolves per physics (BandSweep._make_precond): geometric
