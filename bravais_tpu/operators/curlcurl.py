@@ -1024,10 +1024,28 @@ class BlochCurlCurl:
         return float(e.min()) / ebar, float(e.max()) / ebar
 
     def cheby_steps(self) -> int:
-        """Chebyshev step count for ~0.05 kernel contraction:
-        2ρ^m ≤ 0.05 with ρ = (√κ−1)/(√κ+1) ⇒ m ≈ 1.85√κ."""
+        """Chebyshev step count for ~0.15 kernel contraction per
+        application: m = ⌈ln(2/0.15)/ln(1/ρ)⌉, ρ = (√κ−1)/(√κ+1).
+
+        The 0.15 target (was 0.05) is measured, not asserted
+        (benchmarks/exp_field_op_budget.py, CUB ε-sphere n=4 p=2,
+        production device stop): LOBPCG iterations and refined
+        eigenvalue error are IDENTICAL down to contraction ~0.2
+        (steps 8→4 at ε=13, 11→5 at ε=30); the cliff sits at ~0.33
+        (ε=30 steps=4: 14→19 iters) and ~0.4–0.5 diverges outright
+        (ε=30 steps=3: garbage flagged by the f64 certificate at 7.0).
+        0.15 keeps ≥2 steps of margin to the cliff at both contrasts
+        while cutting the projector's sequential op chain ~40% — the
+        dominant per-iteration cost of the dispatch-latency-bound
+        varying-ε path."""
         a, b = self.cheby_bounds()
-        return int(max(6, np.ceil(2.0 * np.sqrt(b / max(a, 1e-12)))))
+        kappa = b / max(a, 1e-12)
+        sq = np.sqrt(max(kappa, 1.0 + 1e-12))
+        rho = (sq - 1.0) / (sq + 1.0)
+        if rho <= 0.0:
+            return 4
+        return int(max(4, np.ceil(np.log(2.0 / 0.15)
+                                  / np.log(1.0 / rho))))
 
     def gradient_component_cheby(self, u: jax.Array, k: jax.Array,
                                  steps: int | None = None,
@@ -1102,7 +1120,8 @@ class BlochCurlCurl:
                       scale_floor: float | None = None,
                       engine: str = "field",
                       proj_method: str = "chol",
-                      pc_rep: str = "inv") -> Callable:
+                      pc_rep: str = "inv",
+                      inner_iters: int = 3) -> Callable:
         """Solve hook for BandSweep: LOBPCG on the gradient-shifted
         operator Ã = A + σ·M P (P = gradient projector).
 
@@ -1222,7 +1241,13 @@ class BlochCurlCurl:
             if precond == "fastdiag":
                 pc = op.fd_precond(k, shift=fd_shift)
             elif precond == "fastdiag-cg":
-                pc = op.fd_precond_cg(k, shift=fd_shift)
+                # inner_iters=3 production default: measured iteration-
+                # neutral vs 4 (and even 2) at ε ∈ {13, 30} with
+                # unchanged refined accuracy (exp_field_op_budget.py);
+                # 3 keeps one measured step of margin while cutting the
+                # inner-PCG op chain 25%.
+                pc = op.fd_precond_cg(k, shift=fd_shift,
+                                      inner_iters=inner_iters)
             else:
                 pc = precond_in
 

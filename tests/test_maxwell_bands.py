@@ -119,6 +119,32 @@ def _dielectric_solve(eps_in, deflation="project-cheby",
     return solve(op, X0, k, nev, tol, 250, None)
 
 
+def test_cheby_steps_contraction_invariant():
+    """The kernel projector's step count must give per-application
+    contraction 2ρ^m ≤ 0.2 — the measured safety region
+    (benchmarks/exp_field_op_budget.py: iterations/accuracy identical
+    down to ~0.2; inflation at 0.33, divergence at ~0.5). Also pins
+    that the round-4 formula is actually CHEAPER than the old
+    0.05-target max(6, ⌈2√κ⌉) it replaced."""
+    import jax.numpy as jnp
+    from bravais_tpu.operators.coefficients import dielectric_sphere
+
+    lat = make_lattice("CUB")
+    grid = PeriodicGrid.make(lat, 4)
+    center = 0.5 * lat.A.sum(axis=0)
+    for eps_in in (2.0, 13.0, 30.0):
+        eps = dielectric_sphere(eps_in, 1.0, 0.25, center, lat.A, 0.0)
+        sp = NedelecSpace.make(grid, 2)
+        op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
+        a, b = op.cheby_bounds()
+        sq = np.sqrt(b / a)
+        rho = (sq - 1.0) / (sq + 1.0)
+        m = op.cheby_steps()
+        assert 2.0 * rho**m <= 0.2, (eps_in, m, 2.0 * rho**m)
+        old = max(6, int(np.ceil(2.0 * np.sqrt(b / a))))
+        assert m <= old, (eps_in, m, old)
+
+
 def test_dielectric_sphere_contrast_robust_config():
     """Varying-ε production configuration (CLI 'field' engine for
     non-invariant coefficients): per-iteration TRUE-L preconditioned-
