@@ -171,9 +171,11 @@ class BandSweep:
             AM = None
             if getattr(self.op, "supports_fused_am", lambda: False)():
                 AM = lambda x: self.op.apply_AM_pallas(x, k)
+            from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             r = lobpcg(lambda x: self.op.apply_A(x, k), self.op.apply_M,
                        X0, self.nev, maxiter=self.maxiter, tol=self.tol,
-                       precond=self._make_precond(k), AM=AM)
+                       precond=self._make_precond(k), AM=AM,
+                       rr_tol=PROD_RR_TOL)
         return (r.eigenvalues, r.iterations, r.residual_norms,
                 to_reim(r.eigenvectors))
 

@@ -77,7 +77,8 @@ def _perm_chain(n: int):
     return Ps[0], Ts
 
 
-def jacobi_eigh(H: jax.Array, sweeps: int = 24):
+def jacobi_eigh(H: jax.Array, sweeps: int = 24,
+                rel_tol: float | None = None):
     """Eigendecomposition of a Hermitian matrix (..., n, n).
 
     Returns (w, V): w (..., n) real ascending, V (..., n, n) with
@@ -85,6 +86,14 @@ def jacobi_eigh(H: jax.Array, sweeps: int = 24):
     internally. Pure jax; jit/vmap-safe. Runs until the off-diagonal
     Frobenius mass drops below ~eps·‖H‖ or ``sweeps`` sweeps (cap —
     ill-conditioned whitening Grams genuinely need >10).
+
+    ``rel_tol``: optional looser Rutishauser stop — converged when
+    every |H_ij| ≤ rel_tol·√|H_ii H_jj| (default: machine eps).
+    Callers whose downstream use is subspace-iterative (the LOBPCG
+    Rayleigh–Ritz: errors self-correct through the next iteration's
+    re-whitening) can save the final quadratic-convergence sweeps;
+    callers that use (w, V) as an exact factorization (fastdiag
+    stencil eigenbases, spectral projectors) must keep the default.
     """
     n0 = H.shape[-1]
     cdtype = H.dtype
@@ -158,7 +167,8 @@ def jacobi_eigh(H: jax.Array, sweeps: int = 24):
                 + supmask * ssup[..., None, :]
                 + submask * ssub[..., None, :])
 
-    eps2 = jnp.asarray(jnp.finfo(rdtype).eps, rdtype) ** 2
+    eps2 = jnp.asarray(rel_tol if rel_tol is not None
+                       else jnp.finfo(rdtype).eps, rdtype) ** 2
 
     def not_done(state):
         # Relative (Rutishauser) criterion: converged when every

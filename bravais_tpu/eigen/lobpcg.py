@@ -72,6 +72,17 @@ def _flatten_op2(op, dof_shape):
     return f
 
 
+#: Production Rayleigh–Ritz eigh stop (see ``lobpcg`` ``rr_tol``):
+#: measured ITERATION- AND ACCURACY-NEUTRAL up to 1e-3 on both engines
+#: (benchmarks/exp_rr_tol.py — spectral FCC vs analytic, field
+#: dielectric ε ∈ {13, 30} vs complex128 direct; identical iteration
+#: counts, eigenvalue errors, and f64 residual certificates), so 1e-4
+#: keeps one measured decade of margin while skipping the RR eigh's
+#: final machine-precision sweeps (~70% of the spectral engine's
+#: per-iteration device time is this eigh).
+PROD_RR_TOL = 1e-4
+
+
 def _hermitize(G):
     return 0.5 * (G + jnp.conj(G.T))
 
@@ -179,7 +190,8 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
            AM: Optional[Callable] = None,
            scale_floor: float = 3e-2,
            kernel_project: Optional[Callable] = None,
-           rr_method: str = "chol") -> LobpcgResult:
+           rr_method: str = "chol",
+           rr_tol: Optional[float] = None) -> LobpcgResult:
     """LOBPCG on the Hermitian pencil (A, M) — see module docstring.
 
     ``X0``: (m, *dof_shape) complex initial block, m >= nev. ``M=None``
@@ -195,6 +207,12 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     ``rr_method``: "chol" (default — Cholesky whitening of the S-basis
     Gram, half the per-iteration small-eigh latency) or "eigh" (the
     DSY eigendecomposition whitening; exact rank-revealing drop).
+
+    ``rr_tol``: optional looser stop for the per-iteration Rayleigh–
+    Ritz Jacobi eigh (see :func:`jacobi_eigh` ``rel_tol``) — RR
+    rotation errors self-correct through the next iteration's
+    re-whitening, so the final quadratic-convergence sweeps can be
+    skipped mid-iteration. None keeps machine precision.
     """
     dof_shape = X0.shape[1:]
     m = X0.shape[0]
@@ -310,7 +328,7 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
         gersh = jnp.max(jnp.sum(jnp.abs(H), axis=1))
         big = 2.0 * gersh + jnp.asarray(1.0, rdtype)
         H = H + jnp.diag(jnp.logical_not(good).astype(rdtype) * big)
-        theta, Y = jacobi_eigh(H)                       # ascending
+        theta, Y = jacobi_eigh(H, rel_tol=rr_tol)       # ascending
         Ym = (C @ Y[:, :m]).astype(cdtype)              # coeffs of new X
         Xn, AXn, MXn = Ym.T @ S, Ym.T @ AS, Ym.T @ MS
         # Implicit new P: W/P components of the update (X-block zeroed).

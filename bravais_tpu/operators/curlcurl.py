@@ -1265,11 +1265,13 @@ class BlochCurlCurl:
                 # contrast−1 per iteration — the measured round-2
                 # 150-iteration stall at ε=13).
                 kproj = proj
+                from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
                 return lobpcg(lambda x: op.apply_A(x, k),
                               lambda x: op.apply_M(x, k), X0p,
                               nev, maxiter=maxiter, tol=tol,
                               precond=pc_proj, scale_floor=sfloor,
-                              AM=AM, kernel_project=kproj)
+                              AM=AM, kernel_project=kproj,
+                              rr_tol=PROD_RR_TOL)
 
             if sigma is not None:
                 sig_val = sigma
@@ -1288,9 +1290,10 @@ class BlochCurlCurl:
             def A_shifted(x):
                 return op.apply_A(x, k) + sig * op.apply_M(proj(x), k)
 
+            from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             return lobpcg(A_shifted, lambda x: op.apply_M(x, k), X0p,
                           nev, maxiter=maxiter, tol=tol, precond=pc,
-                          scale_floor=sfloor)
+                          scale_floor=sfloor, rr_tol=PROD_RR_TOL)
 
         return solve
 
@@ -1509,10 +1512,11 @@ class BlochCurlCurl:
 
             X0b = jax.vmap(lambda x: fd.to_blocks(x, F))(X0)
             X0b = X0b - jax.vmap(proj)(X0b)
+            from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             res = lobpcg(lambda x: bmv(TA, x), lambda x: bmv(TM, x),
                          X0b, nev, maxiter=maxiter, tol=tol,
                          precond=pcond, scale_floor=sfloor,
-                         kernel_project=proj)
+                         kernel_project=proj, rr_tol=PROD_RR_TOL)
             # Block support of each converged row — the tiny (m, B)
             # array the f64 spectral refine needs instead of the full
             # eigenvector block (spectral_refine_np).

@@ -274,10 +274,11 @@ class BlochHelmholtz:
                 return jnp.einsum("bij,bj->bi", T, x)
 
             X0b = jax.vmap(lambda x: fd.to_blocks(x, F))(X0)
+            from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             res = lobpcg(lambda x: bmv(TA, x), lambda x: bmv(TM, x),
                          X0b, nev, maxiter=maxiter, tol=tol,
                          precond=lambda R: bmv(Tpc, R),
-                         scale_floor=sfloor)
+                         scale_floor=sfloor, rr_tol=PROD_RR_TOL)
             support = jnp.sum(jnp.abs(res.eigenvectors) ** 2, axis=-1)
             Xf = jax.vmap(lambda v: fd.from_blocks(v, F)
                           )(res.eigenvectors)
