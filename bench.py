@@ -94,11 +94,17 @@ def main():
     ap.add_argument("--cg-iters", type=int, default=20)
     ap.add_argument("--maxiter", type=int, default=0,
                     help="LOBPCG maxiter (0 = per-problem default)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests / oracle "
+                    "runs; the JAX_PLATFORMS env var alone is NOT "
+                    "honored once the axon plugin registers)")
     args = ap.parse_args()
 
     import numpy as np
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
