@@ -2,6 +2,7 @@
 distributed-testing mechanism, SURVEY.md §4.2 item 4), warm starts, and
 checkpoint/resume."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -275,3 +276,46 @@ def test_warm_chain_batched_setup_matches_per_k():
     np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_array_equal(res.iterations, ref.iterations)
+
+
+@pytest.mark.slow
+def test_warm_chain_field_dielectric_matches_warm():
+    """The VARYING-ε field engine through run_warm_chain (the config-3
+    A/B configuration, bench.py --problem dielectric --mode warm-chain)
+    must match run_warm: same production path (project-cheby +
+    fastdiag-cg + f64 host RR refine), chained inside one launch vs
+    per-k launches. Gates the chain flow's no-support (host-RR) refine
+    branch, which no other test exercised with varying ε."""
+    import jax.numpy as jnp
+
+    from bravais_tpu.operators.coefficients import dielectric_sphere
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lat = make_lattice("CUB")
+    grid = PeriodicGrid.make(lat, 4)
+    center = 0.5 * lat.A.sum(axis=0)
+    eps = dielectric_sphere(13.0, 1.0, 0.25, center, lat.A, 0.0)
+    sp = NedelecSpace.make(grid, 2)
+    kp = kpath(lat, npts=5, path=[["G", "X"]])
+    kc = kp.k_cart.copy()
+    for i in range(kc.shape[0]):
+        if np.linalg.norm(kc[i]) < 1e-12:
+            kc[i] = 2e-2 * lat.B[0]
+
+    def mk():
+        op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
+        solve = op.make_solve_fn(deflation="project-cheby",
+                                 precond="fastdiag-cg")
+        return BandSweep(op, nev=4, block=8, tol=1e-6, maxiter=250,
+                         solve_fn=solve, device_tol=1e-4)
+
+    res = mk().run_warm_chain(kc, chain=2)
+    ref = mk().run_warm(kc)
+    # Both ends are f64-refined Rayleigh quotients of (slightly
+    # different) converged f32 device subspaces — agreement is set by
+    # the refine's certified accuracy, not bit-identical paths.
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                               rtol=2e-6)
+    assert np.max(res.residuals) < 1e-3
+    assert res.iterations.shape == (kp.nk,)
