@@ -60,6 +60,12 @@ if [ "$QUICK" = "--quick" ]; then exit 0; fi
 #    gain (the round-4 recorded 0.363 was at the old 1e-5 stop).
 run diel_warm     1800 --problem dielectric
 run diel_warm_tight 1800 --problem dielectric --device-tol 1e-5
+# Block size: m=nev+3..4 measured iteration-neutral vs nev+4 on the
+# CPU proxy (benchmarks exp: m 9->8 flat, 7 slightly worse at nev=5);
+# smaller m cuts per-iteration applies AND the 3m-row RR eigh rounds
+# ~19%. Judge by eig/s + iters + residual (no analytic oracle here).
+run diel_block14  1800 --problem dielectric --block 14
+run diel_block13  1800 --problem dielectric --block 13
 run diel_batched  1800 --problem dielectric --mode batched
 run diel_batched8 1800 --problem dielectric --mode batched --chunk 8
 run diel_chain4   1800 --problem dielectric --mode warm-chain --chain 4
