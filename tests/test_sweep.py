@@ -319,3 +319,33 @@ def test_warm_chain_field_dielectric_matches_warm():
                                rtol=2e-6)
     assert np.max(res.residuals) < 1e-3
     assert res.iterations.shape == (kp.nk,)
+
+
+def test_spectral_pc_rep_factor_matches_inv():
+    """pc_rep='factor' (keep the triangular factor of A+sM; two
+    triangular solves per preconditioner application) vs the default
+    explicit block inverse: a representation change only — eigenvalues
+    must match. Gates the queued warm_pcfactor TPU A/B, which would
+    otherwise be this path's first execution."""
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lat = make_lattice("FCC")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
+    op = BlochCurlCurl(sp, dtype=jnp.complex128)
+    kp = kpath(lat, npts=4, path=[["G", "X"]])
+    kc = kp.k_cart.copy()
+    for i in range(kc.shape[0]):
+        if np.linalg.norm(kc[i]) < 1e-12:
+            kc[i] = 2e-2 * lat.B[0]
+
+    def mk(rep):
+        return BandSweep(op, nev=4, block=8, tol=1e-9, maxiter=200,
+                         solve_fn=op.make_solve_fn(engine="spectral",
+                                                   pc_rep=rep))
+
+    res = mk("factor").run_warm(kc)
+    ref = mk("inv").run_warm(kc)
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                               rtol=1e-9, atol=1e-10)
+    assert np.max(res.residuals) < 1e-8
