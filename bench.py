@@ -94,6 +94,13 @@ def main():
     ap.add_argument("--cg-iters", type=int, default=20)
     ap.add_argument("--maxiter", type=int, default=0,
                     help="LOBPCG maxiter (0 = per-problem default)")
+    ap.add_argument("--restart-tol", type=float, default=0.0,
+                    help="batched mode: two-phase solve — phase 1 runs "
+                    "every k to this loose residual, phase 2 restarts "
+                    "(re-sorted rows, fresh P) to the device stop, all "
+                    "in one launch; bounds the cold-start straggler "
+                    "that bills its worst case to the whole vmapped "
+                    "batch. 0 = single phase")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests / oracle "
                     "runs; the JAX_PLATFORMS env var alone is NOT "
@@ -145,7 +152,8 @@ def main():
                           block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
                           solve_fn=solve_fn,
-                          device_tol=dtol_for("field"))
+                          device_tol=dtol_for("field"),
+                          restart_tol=args.restart_tol or None)
         metric = (f"k-point eigensolves/sec (CUB Maxwell G-X-M-R, "
                   f"eps={eps_in:g} sphere r={radius:g}a, "
                   f"{args.nev} bands, n={n} p={p}, solver tol "
@@ -178,7 +186,8 @@ def main():
                           block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
                           solve_fn=solve_fn,
-                          device_tol=dtol_for(args.engine))
+                          device_tol=dtol_for(args.engine),
+                          restart_tol=args.restart_tol or None)
         metric = (f"k-point eigensolves/sec (FCC Maxwell G-X-W-L, "
                   f"{args.nev} bands, n={n} p={p}; solver tol {args.tol:g},"
                   f" achieved eig err reported in detail)")
@@ -205,7 +214,8 @@ def main():
         sweep = BandSweep(op, nev=args.nev,
                           block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 400,
-                          device_tol=dtol_for("field"))
+                          device_tol=dtol_for("field"),
+                          restart_tol=args.restart_tol or None)
         metric = (f"k-point eigensolves/sec (2D SQR TM dielectric "
                   f"rods eps={eps_in:g} r={radius:g}a, {args.nev} "
                   f"bands, n={n} p={p}, tol {args.tol:g})")
@@ -225,7 +235,8 @@ def main():
         sweep = BandSweep(op, nev=args.nev, tol=args.tol,
                           maxiter=args.maxiter or 400,
                           solve_fn=solve_fn,
-                          device_tol=dtol_for(args.engine))
+                          device_tol=dtol_for(args.engine),
+                          restart_tol=args.restart_tol or None)
         metric = (f"k-point eigensolves/sec (2D square scalar Helmholtz, "
                   f"{args.nev} bands, eig tol {args.tol:g}, n={n} p={p})")
         mmax, mult = 5, 1
@@ -374,6 +385,8 @@ def main():
                         else None),
             "segments": (args.segments if args.mode == "warm-seg"
                          else None),
+            "restart_tol": (args.restart_tol or None
+                            if args.mode == "batched" else None),
             "pc_rep": (args.pc_rep if args.engine == "spectral"
                        else None),
             "device_tol": dtol_for(args.engine),

@@ -68,6 +68,10 @@ run diel_block14  1800 --problem dielectric --block 14
 run diel_block13  1800 --problem dielectric --block 13
 run diel_batched  1800 --problem dielectric --mode batched
 run diel_batched8 1800 --problem dielectric --mode batched --chunk 8
+# Two-phase restart: CPU-measured a LOSS with uniform iteration
+# counts (sweep.py restart_tol note); try ONLY if diel_batched shows
+# a straggler (max iters >> median in its log).
+run diel_batched_rt 1800 --problem dielectric --mode batched --restart-tol 3e-3
 run diel_chain4   1800 --problem dielectric --mode warm-chain --chain 4
 
 # 5. Config-2 rods2d (first TPU record for the 2D dielectric axis).

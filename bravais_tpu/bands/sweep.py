@@ -72,7 +72,8 @@ class BandSweep:
                  solve_fn: Optional[Callable] = None,
                  refine: Optional[bool] = None,
                  keep_vectors: bool = False,
-                 device_tol: Optional[float] = None):
+                 device_tol: Optional[float] = None,
+                 restart_tol: Optional[float] = None):
         self.keep_vectors = keep_vectors
         self.op = operator
         self.nev = nev
@@ -113,6 +114,20 @@ class BandSweep:
         # still reports the true achieved residual either way.
         if device_tol is not None and self.refine:
             self.tol = device_tol
+        # ``restart_tol``: BATCHED-mode two-phase solve — phase 1 runs
+        # every k to this loose residual, phase 2 restarts LOBPCG from
+        # phase 1's (sorted, converged-ish) block to ``tol``, all
+        # inside the same launch. Rationale: a vmapped while_loop runs
+        # until EVERY k converges, so one cold-start straggler bills
+        # its worst-case iterations to the whole batch; the restart
+        # re-sorts rows, reseeds P, and re-projects — bounding the
+        # straggler phase at the loose stop. MEASURED (CPU, CUB ε=13
+        # n=4 p=2, nk=8): a LOSS when iteration counts are uniform
+        # (max 11 → 13; the second _solve repeats the per-k setup and
+        # drops P at the boundary) — only worth trying when the batch
+        # has a genuine straggler (e.g. the cold nudged-Γ point at
+        # production size). Off by default; parity-gated.
+        self.restart_tol = restart_tol
 
     # -- single-k solve (real-valued boundary) ------------------------------
 
@@ -153,13 +168,14 @@ class BandSweep:
         engine) enabling the fast exact f64 refine (spectral_refine_np)."""
         return bool(getattr(self._solve_fn, "provides_support", False))
 
-    def _solve(self, X0_reim, k, pc=None, setup=None):
+    def _solve(self, X0_reim, k, pc=None, setup=None, tol=None):
         X0 = from_reim(X0_reim)
+        tol = self.tol if tol is None else tol
         if self._solve_fn is not None:
             kw = {} if pc is None else {"pc": pc}
             if setup is not None:
                 kw["setup"] = setup
-            r = self._solve_fn(self.op, X0, k, self.nev, self.tol,
+            r = self._solve_fn(self.op, X0, k, self.nev, tol,
                                self.maxiter, self._make_precond(k), **kw)
             if self._has_support:
                 r, support = r
@@ -173,7 +189,7 @@ class BandSweep:
                 AM = lambda x: self.op.apply_AM_pallas(x, k)
             from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             r = lobpcg(lambda x: self.op.apply_A(x, k), self.op.apply_M,
-                       X0, self.nev, maxiter=self.maxiter, tol=self.tol,
+                       X0, self.nev, maxiter=self.maxiter, tol=tol,
                        precond=self._make_precond(k), AM=AM,
                        rr_tol=PROD_RR_TOL)
         return (r.eigenvalues, r.iterations, r.residual_norms,
@@ -237,8 +253,18 @@ class BandSweep:
         nout = 3 if not (self.refine or self.keep_vectors) else (
             5 if self._has_support else 4)
         if self._jit_batched is None:
-            batched = jax.vmap(
-                lambda X0, k: self._solve(X0, k)[:nout], in_axes=(None, 0))
+            if self.restart_tol:
+                # Two-phase batched solve (see __init__ restart_tol).
+                def one(X0, k):
+                    mid = self._solve(X0, k, tol=self.restart_tol)
+                    out = self._solve(mid[3], k)
+                    return ((out[0], mid[1] + out[1], out[2])
+                            + out[3:])[:nout]
+                batched = jax.vmap(one, in_axes=(None, 0))
+            else:
+                batched = jax.vmap(
+                    lambda X0, k: self._solve(X0, k)[:nout],
+                    in_axes=(None, 0))
             if mesh is not None:
                 self._jit_batched = jax.jit(
                     batched,

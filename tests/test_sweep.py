@@ -349,3 +349,20 @@ def test_spectral_pc_rep_factor_matches_inv():
     np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
                                rtol=1e-9, atol=1e-10)
     assert np.max(res.residuals) < 1e-8
+
+
+def test_batched_restart_matches_single_phase():
+    """restart_tol (two-phase batched solve: loose phase 1, restarted
+    phase 2 in the same launch) is a scheduling change — eigenvalues
+    must match the single-phase batched solve; reported iterations are
+    the phase sum."""
+    lat, op = _setup(n=6, p=2)
+    kp = kpath(lat, npts=6)
+    res = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200,
+                    restart_tol=1e-3).run(kp.k_cart)
+    ref = BandSweep(op, nev=3, block=6, tol=1e-9, maxiter=200).run(
+        kp.k_cart)
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                               rtol=1e-9, atol=1e-9)
+    assert np.max(res.residuals) < 1e-9
+    assert res.iterations.shape == (kp.nk,)
