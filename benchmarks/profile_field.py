@@ -104,9 +104,9 @@ def main():
 
     # -- preconditioner: inner-PCG (A+sM)^-1 -------------------------------
     def pc_call(Xr, k):
-        pc = op.fd_precond_cg(k)
+        pc = op.fd_precond_cg(k, inner_iters=3)  # production default
         return to_reim(jax.vmap(pc)(from_reim(Xr)))
-    timed(f"fd_precond_cg (m={m}, 4 inner PCG)", pc_call, Xr, k)
+    timed(f"fd_precond_cg (m={m}, 3 inner PCG)", pc_call, Xr, k)
 
     def minv_call(Xr, k):
         minv = op.fastdiag().solver(
