@@ -146,8 +146,11 @@ def main():
         eps = dielectric_sphere(eps_in, 1.0, radius,
                                 0.5 * lat.A.sum(axis=0), lat.A)
         op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
+        # Direct mean-twin pc: strictly dominates the round-3
+        # inner-PCG variant under project-cheby deflation (round-4d
+        # measurement, cli/bands_app.py make_solve_fn).
         solve_fn = op.make_solve_fn(deflation="project-cheby",
-                                    precond="fastdiag-cg")
+                                    precond="fastdiag")
         sweep = BandSweep(op, nev=args.nev,
                           block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,

@@ -143,7 +143,7 @@ def main():
 
     # -- full solves ---------------------------------------------------------
     solve = op.make_solve_fn(deflation="project-cheby",
-                             precond="fastdiag-cg")
+                             precond="fastdiag")
 
     def full(maxiter):
         def f(Xr, k):

@@ -106,11 +106,19 @@ def make_solve_fn(cfg, op):
         # Varying ε: per-iteration TRUE-L preconditioned-Chebyshev
         # projection (kernel-contracting at any contrast — unlike the
         # mean-twin direct solve; reduction-free and f32-stable —
-        # unlike CG, see gradient_component_cheby) + inner-outer
-        # (A+sM)⁻¹ PCG preconditioning. Measured (round 3): 13-20
-        # LOBPCG iters at ε ∈ [2, 30] sphere contrast vs 81-120 for
-        # the round-2 σ-shift configuration at ε=13.
-        return mk(deflation="project-cheby", precond="fastdiag-cg")
+        # unlike CG, see gradient_component_cheby) + the DIRECT
+        # mean-twin (Ā+sM̄)⁻¹ fast-diagonal preconditioner. Round 4d
+        # measurement: under project-cheby deflation the inner-PCG
+        # preconditioner ("fastdiag-cg", the round-3 default) is
+        # strictly dominated — identical-or-fewer LOBPCG iterations at
+        # every contrast (ε=2: 15/15, 13: 12/13, 30: 14/16, 100:
+        # 16/21 direct/inner-PCG), same refined eigenvalues, at ~1/20
+        # the preconditioner cost (the PCG's 3 extra true-operator
+        # applies + its f32 recursion noise buy nothing once the
+        # projector handles the contrast structure). Round-3 history:
+        # 13-20 iters at ε ∈ [2, 30] vs 81-120 for the round-2
+        # σ-shift configuration.
+        return mk(deflation="project-cheby", precond="fastdiag")
     return mk(deflation_gmg=True)
 
 

@@ -93,7 +93,7 @@ def test_sc_dielectric_sphere_gap_structure():
 
 
 def _dielectric_solve(eps_in, deflation="project-cheby",
-                      precond="fastdiag-cg", cg_iters=None, nev=8,
+                      precond="fastdiag", cg_iters=None, nev=8,
                       tol=1e-5, n=4, p=2):
     """One f32 solve of the CUB + ε-sphere problem at X (the varying-ε
     production path); returns the LobpcgResult."""
@@ -195,7 +195,9 @@ def _dense_deflated_dielectric(sp, op, k, nev):
 def test_dielectric_f32_refine_certified(eps_in):
     """f32-production certification (round-3 verdict missing item 5 /
     SURVEY §7.0 item 4): the f32 field-engine dielectric PRODUCTION
-    path — project-cheby deflation, fastdiag-cg preconditioner, f64
+    path — project-cheby deflation, direct mean-twin fastdiag
+    preconditioner (round-4d production; strictly dominates the
+    round-3 inner-PCG variant at every contrast), f64
     host Rayleigh–Ritz refine — must agree with the complex128 dense
     direct solve of the same discretization to ≤1e-6 relative. This
     MEASURES the previously asserted 'the refine stage certifies
@@ -216,7 +218,7 @@ def test_dielectric_f32_refine_certified(eps_in):
     assert not op32._coef_elem_invariant()
     k = np.asarray(lat.k_cart((0.5, 0.0, 0.0)), np.float32)
     solve = op32.make_solve_fn(deflation="project-cheby",
-                               precond="fastdiag-cg")
+                               precond="fastdiag")
     sweep = BandSweep(op32, nev=5, block=9, tol=1e-6, maxiter=250,
                       solve_fn=solve, device_tol=1e-4)
     assert sweep.refine  # f32 + tol<1e-4 ⇒ production refine active

@@ -283,7 +283,8 @@ def test_warm_chain_field_dielectric_matches_warm():
     """The VARYING-ε field engine through run_warm_chain (the config-3
     A/B configuration, bench.py --problem dielectric --mode warm-chain)
     must match run_warm: same production path (project-cheby +
-    fastdiag-cg + f64 host RR refine), chained inside one launch vs
+    direct mean-twin fastdiag pc + f64 host RR refine), chained
+    inside one launch vs
     per-k launches. Gates the chain flow's no-support (host-RR) refine
     branch, which no other test exercised with varying ε."""
     import jax.numpy as jnp
@@ -306,7 +307,7 @@ def test_warm_chain_field_dielectric_matches_warm():
     def mk():
         op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
         solve = op.make_solve_fn(deflation="project-cheby",
-                                 precond="fastdiag-cg")
+                                 precond="fastdiag")
         return BandSweep(op, nev=4, block=8, tol=1e-6, maxiter=250,
                          solve_fn=solve, device_tol=1e-4)
 
