@@ -1121,7 +1121,8 @@ class BlochCurlCurl:
                       engine: str = "field",
                       proj_method: str = "chol",
                       pc_rep: str = "inv",
-                      inner_iters: int = 3) -> Callable:
+                      inner_iters: int = 3,
+                      xp_project: bool = True) -> Callable:
         """Solve hook for BandSweep: LOBPCG on the gradient-shifted
         operator Ã = A + σ·M P (P = gradient projector).
 
@@ -1264,7 +1265,18 @@ class BlochCurlCurl:
                 # must NOT be used here (kernel amplification up to
                 # contrast−1 per iteration — the measured round-2
                 # 150-iteration stall at ε=13).
-                kproj = proj
+                # ``xp_project=False`` drops the per-iteration X/P
+                # deflation (the 2m-row projector call), keeping only
+                # the W-side projection inside the preconditioner.
+                # MEASURED CATASTROPHIC (round 4d, CUB ε-sphere n=4
+                # p=2): spurious kernel modes take over the block
+                # (rel_err ~1.0 vs the dense direct solve at every
+                # contrast; warm chains collapse to ~0 eigenvalues) —
+                # RR-recombination roundoff alone feeds the kernel
+                # faster than W-side projection drains it. The X/P
+                # deflation is LOAD-BEARING; the knob exists to keep
+                # that fact measurable, not for production use.
+                kproj = proj if xp_project else None
                 from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
                 return lobpcg(lambda x: op.apply_A(x, k),
                               lambda x: op.apply_M(x, k), X0p,
