@@ -40,6 +40,13 @@ run chain16_bsetup 900 --mode warm-chain --chain 16 --pc-mode batched-setup --nk
 #    extra skinny GEMM per iteration).
 run warm_pcfactor  900 --pc-rep factor
 
+# 2b. Headline block size (CPU n=4 p=2 proxy, 2026-08-19: m 16->14->12
+#    gives iters 5.9->6.1->7.4 at IDENTICAL accuracy and 2.3x CPU
+#    throughput — but the TPU iteration is latency-bound (~12.6 ms
+#    nearly independent of m), so more iters may LOSE on-chip; measure).
+run warm_block14   900 --block 14
+run warm_block12   900 --block 12
+
 # 3. Fused-sweep Pallas Jacobi (opt-in; d5523c3): the measured
 #    ~12.6 ms/iter dispatch floor candidate fix.
 echo "=== pallas_jacobi: BRAVAIS_JACOBI_PALLAS=1 python bench.py" >&2
