@@ -131,8 +131,10 @@ def main():
         # Config 3 (BASELINE.json:9): simple cubic + dielectric sphere,
         # Γ–X–M–R — the reference's bread-and-butter heterogeneous-ε
         # Maxwell workload (the hypre-AMS axis). Field engine:
-        # per-iteration true-L PCG projection + inner-outer (A+sM)⁻¹
-        # PCG (measured 13 iters/k at ε=13 vs 81-120 in round 2).
+        # per-iteration preconditioned-Chebyshev TRUE-L kernel
+        # projection + the DIRECT mean-twin fastdiag preconditioner
+        # (round 4d: strictly dominates the round-3 inner-PCG variant —
+        # docs/DIELECTRIC.md has the measurement table).
         from bravais_tpu.operators.coefficients import dielectric_sphere
         from bravais_tpu.operators.curlcurl import BlochCurlCurl
         from bravais_tpu.spaces.nedelec import NedelecSpace

@@ -65,8 +65,8 @@ def main():
         if inner is not None:
             base = type(op).fd_precond_cg
             op.fd_precond_cg = (
-                lambda kk, shift=None, ii=inner:
-                base(op, kk, shift, inner_iters=ii))
+                lambda kk, shift=None, inner_iters=None, ii=inner:
+                base(op, kk, shift=shift, inner_iters=ii))
             tag.append(f"inner={inner}")
         solve = op.make_solve_fn(deflation="project-cheby",
                                  precond="fastdiag-cg")

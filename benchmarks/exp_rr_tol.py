@@ -26,7 +26,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    import bravais_tpu.eigen.lobpcg as L
     from bravais_tpu.bands import BandSweep
     from bravais_tpu.lattices import make_lattice
     from bravais_tpu.meshing.grid import PeriodicGrid
@@ -39,14 +38,9 @@ def main():
     from test_maxwell_bands import _dense_deflated_dielectric
     from oracles.analytic import maxwell_bands
 
-    orig_eigh = L.jacobi_eigh
-
-    def set_rr(rel):
-        if rel is None:
-            L.jacobi_eigh = orig_eigh
-        else:
-            L.jacobi_eigh = (lambda H, sweeps=24, rel_tol=None:
-                             orig_eigh(H, sweeps, rel))
+    # rel=None means the MACHINE-precision RR (rr_tol=None passed
+    # through BandSweep/make_solve_fn), the control the production
+    # PROD_RR_TOL=1e-4 default is judged against.
 
     # --- spectral engine: FCC empty-lattice Maxwell vs analytic -------
     lat = make_lattice("FCC")
@@ -56,11 +50,11 @@ def main():
     ex = maxwell_bands(lat, np.asarray(k, np.float64), nev)
     print(f"spectral FCC n=4 p=2: dofs={sp.ndofs}", flush=True)
     for rel in (None, 1e-5, 1e-4, 1e-3):
-        set_rr(rel)
         op = BlochCurlCurl(sp, dtype=jnp.complex64)
         sweep = BandSweep(op, nev=nev, block=nev + 4, tol=1e-6,
-                          maxiter=250,
-                          solve_fn=op.make_solve_fn(engine="spectral"),
+                          maxiter=250, rr_tol=rel,
+                          solve_fn=op.make_solve_fn(engine="spectral",
+                                                    rr_tol=rel),
                           device_tol=1e-3)
         t0 = time.time()
         res = sweep.run(np.asarray([k]))
@@ -82,10 +76,9 @@ def main():
             sp, op64, np.asarray(k, np.float64), 5)
         print(f"field eps={eps_in:g}:", flush=True)
         for rel in (None, 1e-5, 1e-4, 1e-3):
-            set_rr(rel)
             op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
             solve = op.make_solve_fn(deflation="project-cheby",
-                                     precond="fastdiag-cg")
+                                     precond="fastdiag-cg", rr_tol=rel)
             sweep = BandSweep(op, nev=5, block=9, tol=1e-6,
                               maxiter=250, solve_fn=solve,
                               device_tol=1e-4)
@@ -98,7 +91,6 @@ def main():
                   f"  rel_err={rel_err:.3e}"
                   f"  f64_res={np.max(res.residuals):.3e}"
                   f"  wall={time.time() - t0:6.1f}s", flush=True)
-    set_rr(None)
 
 
 if __name__ == "__main__":

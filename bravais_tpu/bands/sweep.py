@@ -73,7 +73,14 @@ class BandSweep:
                  refine: Optional[bool] = None,
                  keep_vectors: bool = False,
                  device_tol: Optional[float] = None,
-                 restart_tol: Optional[float] = None):
+                 restart_tol: Optional[float] = None,
+                 rr_tol: "float | None | str" = "prod"):
+        # Rayleigh–Ritz eigh stop for the built-in lobpcg path: "prod" =
+        # the measured production default (lobpcg.PROD_RR_TOL); None =
+        # machine precision (oracle/debug runs). Engine solve_fn hooks
+        # carry their own rr_tol via make_solve_fn(rr_tol=...).
+        from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
+        self.rr_tol = PROD_RR_TOL if isinstance(rr_tol, str) else rr_tol
         self.keep_vectors = keep_vectors
         self.op = operator
         self.nev = nev
@@ -128,10 +135,16 @@ class BandSweep:
         # has a genuine straggler (e.g. the cold nudged-Γ point at
         # production size). Off by default; parity-gated.
         self.restart_tol = restart_tol
+        self._resolve_precond()
 
     # -- single-k solve (real-valued boundary) ------------------------------
 
-    def _make_precond(self, k):
+    def _resolve_precond(self):
+        """Resolve ``precond="auto"`` and EAGERLY build any solver state
+        (the GMG hierarchy) at construction time — never first inside a
+        jit trace (CLAUDE.md rule: lazily-built operator state under
+        tracing breaks with TracerArrayConversionError the moment the
+        build touches the device)."""
         pre = self.precond
         if pre == "auto":
             # Physics-aware default: varying-coefficient SCALAR
@@ -150,11 +163,15 @@ class BandSweep:
             else:
                 pre = "jacobi"
         if pre == "gmg":
-            if not hasattr(self, "_gmg"):
-                from bravais_tpu.eigen.gmg import GMG
-                self._gmg = GMG(self.op.space, alpha=self.op._alpha_fn,
-                                beta=self.op._beta_fn,
-                                dtype=self.op.dtype, fine_op=self.op)
+            from bravais_tpu.eigen.gmg import GMG
+            self._gmg = GMG(self.op.space, alpha=self.op._alpha_fn,
+                            beta=self.op._beta_fn,
+                            dtype=self.op.dtype, fine_op=self.op)
+        self._precond_mode = pre
+
+    def _make_precond(self, k):
+        pre = self._precond_mode
+        if pre == "gmg":
             return self._gmg.precond(k)
         if pre == "jacobi":
             return jacobi(self.op.diag_A(k))
@@ -187,11 +204,10 @@ class BandSweep:
             AM = None
             if getattr(self.op, "supports_fused_am", lambda: False)():
                 AM = lambda x: self.op.apply_AM_pallas(x, k)
-            from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             r = lobpcg(lambda x: self.op.apply_A(x, k), self.op.apply_M,
                        X0, self.nev, maxiter=self.maxiter, tol=tol,
                        precond=self._make_precond(k), AM=AM,
-                       rr_tol=PROD_RR_TOL)
+                       rr_tol=self.rr_tol)
         return (r.eigenvalues, r.iterations, r.residual_norms,
                 to_reim(r.eigenvectors))
 
@@ -449,21 +465,27 @@ class BandSweep:
                            "batched-setup"):
             raise ValueError(f"unknown precond mode {precond!r}")
 
+        # Resolve engine-capability downgrades FIRST so the program
+        # cache below is keyed on the EFFECTIVE mode: asking for a
+        # downgraded alias and then its effective mode (either order)
+        # must not recompile an identical chain program (a recompile
+        # costs minutes on axon).
+        build_pc = (getattr(self._solve_fn, "build_pc", None)
+                    if precond != "per-k" else None)
+        build_setup = (getattr(self._solve_fn, "build_setup", None)
+                       if precond == "batched-setup" else None)
+        if precond == "batched-setup" and build_setup is None:
+            precond = "batched"   # engine has no setup hook
+        if build_pc is None:
+            precond = "per-k"
+
         # The compiled chain program closes over the pc mode — rebuild
         # if a later call asks for a different one (a silently reused
         # wrong-mode program would corrupt A/B comparisons).
         if getattr(self, "_jit_chain_mode", None) != precond:
             self._jit_chain = None
         if self._jit_chain is None:
-            self._jit_chain_mode = precond  # requested (pre-downgrade)
-            build_pc = (getattr(self._solve_fn, "build_pc", None)
-                        if precond != "per-k" else None)
-            build_setup = (getattr(self._solve_fn, "build_setup", None)
-                           if precond == "batched-setup" else None)
-            if precond == "batched-setup" and build_setup is None:
-                precond = "batched"   # engine has no setup hook
-            if build_pc is None:
-                precond = "per-k"
+            self._jit_chain_mode = precond
 
             def chain_fn(X0, ks):
                 # Preconditioner modes:

@@ -1122,7 +1122,8 @@ class BlochCurlCurl:
                       proj_method: str = "chol",
                       pc_rep: str = "inv",
                       inner_iters: int = 3,
-                      xp_project: bool = True) -> Callable:
+                      xp_project: bool = True,
+                      rr_tol: float | None | str = "prod") -> Callable:
         """Solve hook for BandSweep: LOBPCG on the gradient-shifted
         operator Ã = A + σ·M P (P = gradient projector).
 
@@ -1159,7 +1160,7 @@ class BlochCurlCurl:
         factorization — the hypre-AMS replacement). All fast-diagonal
         pieces are built ONCE per k-point, outside the LOBPCG loop.
         """
-        from bravais_tpu.eigen.lobpcg import lobpcg
+        from bravais_tpu.eigen.lobpcg import PROD_RR_TOL, lobpcg
 
         # f32 residual-scale floor: the ω²→0 bands near Γ cannot reach
         # absolute residuals below the f32 apply-noise floor; the f64
@@ -1167,9 +1168,13 @@ class BlochCurlCurl:
         # device loop may stop at a proportionally looser scale.
         sfloor = scale_floor if scale_floor is not None else (
             0.3 if jnp.dtype(self.dtype) == jnp.complex64 else 3e-2)
+        # Rayleigh–Ritz eigh stop: "prod" = the measured production
+        # default (PROD_RR_TOL); None = machine precision (oracle runs).
+        rr = PROD_RR_TOL if isinstance(rr_tol, str) else rr_tol
         if engine == "spectral":
             return self._make_spectral_solve_fn(fd_shift, sfloor,
-                                                proj_method, pc_rep)
+                                                proj_method, pc_rep,
+                                                rr_tol=rr)
         defl = deflation or ("gmg" if deflation_gmg else "cg")
         if defl == "project" and not self._coef_elem_invariant():
             # The "project" variant feeds the DIRECT fast-diagonal
@@ -1277,13 +1282,12 @@ class BlochCurlCurl:
                 # deflation is LOAD-BEARING; the knob exists to keep
                 # that fact measurable, not for production use.
                 kproj = proj if xp_project else None
-                from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
                 return lobpcg(lambda x: op.apply_A(x, k),
                               lambda x: op.apply_M(x, k), X0p,
                               nev, maxiter=maxiter, tol=tol,
                               precond=pc_proj, scale_floor=sfloor,
                               AM=AM, kernel_project=kproj,
-                              rr_tol=PROD_RR_TOL)
+                              rr_tol=rr)
 
             if sigma is not None:
                 sig_val = sigma
@@ -1302,16 +1306,16 @@ class BlochCurlCurl:
             def A_shifted(x):
                 return op.apply_A(x, k) + sig * op.apply_M(proj(x), k)
 
-            from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             return lobpcg(A_shifted, lambda x: op.apply_M(x, k), X0p,
                           nev, maxiter=maxiter, tol=tol, precond=pc,
-                          scale_floor=sfloor, rr_tol=PROD_RR_TOL)
+                          scale_floor=sfloor, rr_tol=rr)
 
         return solve
 
     def _make_spectral_solve_fn(self, fd_shift, sfloor,
                                 proj_method: str = "qr",
-                                pc_rep: str = "inv") -> Callable:
+                                pc_rep: str = "inv",
+                                rr_tol: float | None = None) -> Callable:
         """LOBPCG run ENTIRELY in the twisted-DFT block basis — the
         maximum-MXU path for element-translation-invariant coefficients
         (every empty-lattice config, incl. the headline benchmark).
@@ -1524,11 +1528,10 @@ class BlochCurlCurl:
 
             X0b = jax.vmap(lambda x: fd.to_blocks(x, F))(X0)
             X0b = X0b - jax.vmap(proj)(X0b)
-            from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             res = lobpcg(lambda x: bmv(TA, x), lambda x: bmv(TM, x),
                          X0b, nev, maxiter=maxiter, tol=tol,
                          precond=pcond, scale_floor=sfloor,
-                         kernel_project=proj, rr_tol=PROD_RR_TOL)
+                         kernel_project=proj, rr_tol=rr_tol)
             # Block support of each converged row — the tiny (m, B)
             # array the f64 spectral refine needs instead of the full
             # eigenvector block (spectral_refine_np).

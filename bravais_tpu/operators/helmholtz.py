@@ -223,7 +223,8 @@ class BlochHelmholtz:
 
     def make_solve_fn(self, engine: str = "spectral",
                       fd_shift: float | None = None,
-                      scale_floor: float | None = None):
+                      scale_floor: float | None = None,
+                      rr_tol: float | None | str = "prod"):
         """Solve hook for BandSweep: LOBPCG entirely in the twisted-DFT
         block basis (the scalar twin of curlcurl's spectral engine,
         SURVEY.md §2.2 #12-13) — per-iteration ops are batched D×D
@@ -237,8 +238,10 @@ class BlochHelmholtz:
         order to the same bands; discrete eigenvalues differ only at
         discretization-error level — validated against the analytic
         oracle in tests."""
-        from bravais_tpu.eigen.lobpcg import lobpcg
+        from bravais_tpu.eigen.lobpcg import PROD_RR_TOL, lobpcg
 
+        # "prod" = measured production RR stop; None = machine precision.
+        rr = PROD_RR_TOL if isinstance(rr_tol, str) else rr_tol
         if engine != "spectral":
             raise ValueError(f"unknown engine {engine!r}")
         if min(self.space.grid.shape) < 3:
@@ -274,11 +277,10 @@ class BlochHelmholtz:
                 return jnp.einsum("bij,bj->bi", T, x)
 
             X0b = jax.vmap(lambda x: fd.to_blocks(x, F))(X0)
-            from bravais_tpu.eigen.lobpcg import PROD_RR_TOL
             res = lobpcg(lambda x: bmv(TA, x), lambda x: bmv(TM, x),
                          X0b, nev, maxiter=maxiter, tol=tol,
                          precond=lambda R: bmv(Tpc, R),
-                         scale_floor=sfloor, rr_tol=PROD_RR_TOL)
+                         scale_floor=sfloor, rr_tol=rr)
             support = jnp.sum(jnp.abs(res.eigenvectors) ** 2, axis=-1)
             Xf = jax.vmap(lambda v: fd.from_blocks(v, F)
                           )(res.eigenvectors)
