@@ -386,8 +386,12 @@ def main():
             # Mode-specific knobs, so recorded A/B lines are
             # self-describing (round-4 A/B harness).
             "chain": (args.chain if args.mode == "warm-chain" else None),
-            "pc_mode": (args.pc_mode if args.mode == "warm-chain"
-                        else None),
+            # EFFECTIVE pc mode (post engine-capability downgrade, read
+            # back from the sweep) — recording the requested flag would
+            # mislabel e.g. a scalar-engine --pc-mode batched run that
+            # silently fell back to per-k (no build_pc hook).
+            "pc_mode": (getattr(sweep, "_jit_chain_mode", args.pc_mode)
+                        if args.mode == "warm-chain" else None),
             "segments": (args.segments if args.mode == "warm-seg"
                          else None),
             "restart_tol": (args.restart_tol or None

@@ -220,6 +220,7 @@ class BandSweep:
         means the candidate blocks missed a band, and the all-dof host
         Rayleigh–Ritz is used as fallback. Other engines: host RR."""
         rf = getattr(self._solve_fn, "refine_np", None)
+        suspect = False
         if rf is not None and len(out) > 4:
             ref = rf(np.asarray(out[4]), k, self.nev)
             if ref is not None:  # None: empty support (degenerate solve)
@@ -231,14 +232,21 @@ class BandSweep:
                 if lam.size == lam_d.size and np.all(
                         np.abs(lam - lam_d) / sc < 3e-2):
                     return lam, res
+            suspect = True
         if out[3] is None:
             # Chain mode with support-only outputs: the eigenvector
             # block never left the device, so the all-dof fallback is
             # unavailable — keep the (residual-certified) device values
             # rather than trust a refine whose cross-check failed.
             return None
-        return host_rayleigh_ritz(self.op, np.asarray(out[3]), k,
-                                  self.nev)
+        # Fallback after a FAILED cross-check (or empty support) must
+        # use the FULL m-row subspace: the suspected failure mode is a
+        # true band mis-sorted into a guard row, which the default
+        # nev+2-row trim (a per-k cost optimization for the healthy
+        # field path) would exclude by construction.
+        X = np.asarray(out[3])
+        rows = X.shape[1] if suspect else None
+        return host_rayleigh_ritz(self.op, X, k, self.nev, rows=rows)
 
     def _x0_np(self, dof_shape, rdtype) -> np.ndarray:
         rng = np.random.default_rng(self.seed)
@@ -479,12 +487,19 @@ class BandSweep:
         if build_pc is None:
             precond = "per-k"
 
-        # The compiled chain program closes over the pc mode — rebuild
-        # if a later call asks for a different one (a silently reused
-        # wrong-mode program would corrupt A/B comparisons).
-        if getattr(self, "_jit_chain_mode", None) != precond:
+        # The compiled chain program closes over the pc mode, the chain
+        # length (chain-mid's ks[chain//2] index), and the output
+        # layout (need_X) — rebuild if a later call changes ANY of
+        # them (a silently reused wrong-config program would corrupt
+        # A/B comparisons, and a stale chain int would index a wrong-k
+        # chain-mid preconditioner).
+        key = (precond, chain, need_X)
+        if getattr(self, "_jit_chain_key", None) != key:
             self._jit_chain = None
         if self._jit_chain is None:
+            self._jit_chain_key = key
+            # Effective (post-downgrade) mode — bench.py records this
+            # so A/B JSON lines self-describe what actually ran.
             self._jit_chain_mode = precond
 
             def chain_fn(X0, ks):

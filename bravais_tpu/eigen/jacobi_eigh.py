@@ -102,9 +102,15 @@ def jacobi_eigh(H: jax.Array, sweeps: int = 24,
     # instead of ~1500 sequential small XLA ops — opt-in until
     # TPU-measured (BRAVAIS_JACOBI_PALLAS=1). Single-matrix complex64
     # only (the batched (B, D, D) fastdiag callers stay on XLA, where
-    # batching already amortizes the per-op latency).
+    # batching already amortizes the per-op latency). The kernel runs a
+    # FIXED 12 sweeps with no convergence stop — measured-sufficient
+    # for the LOOSE-rel_tol Rayleigh–Ritz it serves, but NOT a
+    # substitute for the converging XLA path when the caller needs an
+    # exact factorization (rel_tol None/tight) or asked for a smaller
+    # sweep cap: those stay on XLA.
     import os
     if (H.ndim == 2 and n0 % 2 == 0 and cdtype == jnp.complex64
+            and rel_tol is not None and rel_tol >= 1e-5 and sweeps >= 12
             and os.environ.get("BRAVAIS_JACOBI_PALLAS")
             and jax.default_backend() not in ("cpu",)):
         from bravais_tpu.eigen.pallas_jacobi import jacobi_eigh_pallas

@@ -249,8 +249,11 @@ def lobpcg(A: Callable, M: Optional[Callable], X0: jax.Array, nev: int,
     # monotonically across a warm-started k-chain (measured round 4:
     # total collapse of the scalar warm sweep from the second k on).
     # Deterministic key: one compiled program, reproducible runs.
+    # Floor the scale so an ALL-zero block (max(rn) == 0 would make the
+    # comparison all-False) still reseeds every row; healthy warm rows
+    # are M-orthonormalized eigenvectors with 2-norms of order 1.
     rn = jnp.linalg.norm(X, axis=1)
-    bad0 = rn < 1e-6 * jnp.max(rn)
+    bad0 = rn < 1e-6 * jnp.maximum(jnp.max(rn), 1.0)
     fr = jax.random.normal(jax.random.PRNGKey(0x5EED),
                            (2, m, X.shape[1]), rdtype)
     X = jnp.where(bad0[:, None], (fr[0] + 1j * fr[1]).astype(cdtype), X)

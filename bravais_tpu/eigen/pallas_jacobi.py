@@ -22,8 +22,10 @@ Axon Mosaic rules honored (CLAUDE.md): lane dim never reshaped (all
 arrays stay (n, n) or (r, n, n) with leading-dim dynamic slices only),
 aligned 2D matmuls, complex as separate re/im f32 planes, real I/O.
 
-Enabled via BRAVAIS_JACOBI_PALLAS=1 (off by default until TPU-measured;
-`jacobi_eigh(..., use_pallas=True)` forces it for tests).
+Enabled via BRAVAIS_JACOBI_PALLAS=1 (off by default until TPU-measured),
+and only for LOOSE-rel_tol callers (the production Rayleigh–Ritz) —
+exact-factorization callers stay on the converging XLA path. Tests call
+`jacobi_eigh_pallas` directly (interpret=True on CPU).
 """
 
 from __future__ import annotations

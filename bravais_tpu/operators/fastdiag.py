@@ -336,13 +336,12 @@ class FastDiag:
 
     # -- host (NumPy, f64) twin — used by the refine stage -----------------
 
-    def blocks_np(self, terms: Sequence[Tuple[str, float]],
-                  k: np.ndarray, idx=None) -> np.ndarray:
-        """f64 host twin of :meth:`blocks`, optionally restricted to the
-        flat block indices ``idx`` — the spectral-refine path builds the
-        exact small blocks of only the frequencies that carry the
-        converged bands (milliseconds instead of an all-dof host
-        Rayleigh–Ritz). Rectangular stencils ("G") are supported."""
+    def _phase_weights_np(self, k: np.ndarray):
+        """Twisted phase angles θ_i and the per-offset weight matrix
+        w (noffsets, nblocks) at k — the SINGLE host-side definition of
+        the quasi-periodic phase convention. blocks_np, blocks_np_multi
+        and solver_np all derive from this one function so the f64
+        refine can never desynchronize from the device blocks."""
         k = np.asarray(k, np.float64)
         theta = [(self.A_rows[i] @ k + 2.0 * np.pi * np.arange(n)) / n
                  for i, n in enumerate(self.shape)]
@@ -351,7 +350,16 @@ class FastDiag:
             wi = np.exp(1j * theta[i])[None, :] ** \
                 self.offsets[:, i].astype(np.float64)[:, None]
             w = wi if w is None else np.einsum("s...,sn->s...n", w, wi)
-        w = w.reshape(w.shape[0], -1)
+        return theta, w.reshape(w.shape[0], -1)
+
+    def blocks_np(self, terms: Sequence[Tuple[str, float]],
+                  k: np.ndarray, idx=None) -> np.ndarray:
+        """f64 host twin of :meth:`blocks`, optionally restricted to the
+        flat block indices ``idx`` — the spectral-refine path builds the
+        exact small blocks of only the frequencies that carry the
+        converged bands (milliseconds instead of an all-dof host
+        Rayleigh–Ritz). Rectangular stencils ("G") are supported."""
+        _, w = self._phase_weights_np(k)
         if idx is not None:
             w = w[:, np.asarray(idx, np.int64)]
         S = sum(float(c) * self.stencils[nm] for nm, c in terms)
@@ -374,15 +382,7 @@ class FastDiag:
         shared across stencils (the refine needs A, M and G together on
         the per-k critical path). Stencils may have different column
         dimensions (rectangular "G"); rows (ncomp·p^d) must match."""
-        k = np.asarray(k, np.float64)
-        theta = [(self.A_rows[i] @ k + 2.0 * np.pi * np.arange(n)) / n
-                 for i, n in enumerate(self.shape)]
-        w = None
-        for i in range(self.d):
-            wi = np.exp(1j * theta[i])[None, :] ** \
-                self.offsets[:, i].astype(np.float64)[:, None]
-            w = wi if w is None else np.einsum("s...,sn->s...n", w, wi)
-        w = w.reshape(w.shape[0], -1)
+        _, w = self._phase_weights_np(k)
         if idx is not None:
             w = w[:, np.asarray(idx, np.int64)]
         mats = [self.stencils[nm] for nm in names]
@@ -470,17 +470,9 @@ class FastDiag:
         done ONCE here; the returned closure solves any number of
         fields (used by the refine-stage gradient cleanup)."""
         d, p = self.d, self.p
-        k = np.asarray(k, np.float64)
-        theta = [(self.A_rows[i] @ k + 2.0 * np.pi * np.arange(n)) / n
-                 for i, n in enumerate(self.shape)]
+        theta, w = self._phase_weights_np(k)
         F = [np.exp(-1j * th[:, None] * np.arange(n)[None, :])
              for th, n in zip(theta, self.shape)]
-        w = None
-        for i in range(d):
-            wi = np.exp(1j * theta[i])[None, :] ** \
-                self.offsets[:, i].astype(np.float64)[:, None]
-            w = wi if w is None else np.einsum("s...,sn->s...n", w, wi)
-        w = w.reshape(w.shape[0], -1)
         S = sum(float(c) * self.stencils[nm] for nm, c in terms)
         T = np.einsum("sb,sij->bij", w, S)
         lam, V = np.linalg.eigh(0.5 * (T + np.conj(np.swapaxes(T, 1, 2))))
