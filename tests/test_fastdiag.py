@@ -436,3 +436,41 @@ def test_spectral_refine_exact_gamma_guard():
     shell = lam[np.abs(lam) > 1e-8]
     ex = float(np.sum(lat.B[0] ** 2))           # |b|² continuum shell
     assert np.all(np.abs(shell - ex) / ex < 0.05)  # n=3 p=2 h-error
+
+
+def test_host_rr_rows_spans_full_block_on_fallback():
+    """``rows`` semantics of host_rayleigh_ritz (round-4e review): the
+    default nev+2 trim is a per-k cost optimization for HEALTHY device
+    blocks (rows ascending by Ritz value) — but the failed-cross-check
+    fallback in BandSweep._refine_host suspects a TRUE band mis-sorted
+    into a guard row (the warm-start mis-sort mode the rank-aware done
+    fix documents), so it must span ALL m rows. A block whose 3rd-lowest
+    eigenvector sits in the LAST row is missed by the trimmed RR by
+    construction and recovered by the full-row RR."""
+    import scipy.linalg
+
+    from bravais_tpu.eigen.refine import host_rayleigh_ritz
+    from bravais_tpu.operators.dense import assemble_h1
+    from bravais_tpu.operators.helmholtz import BlochHelmholtz
+    from bravais_tpu.spaces.h1 import H1Space
+    from bravais_tpu.utils.reim import to_reim_np
+
+    lat = make_lattice("SQR")
+    sp = H1Space.make(PeriodicGrid.make(lat, 6), 1)
+    op = BlochHelmholtz(sp, dtype=jnp.complex128)
+    k = np.asarray(lat.k_cart((0.3, 0.1)), np.float64)
+    A, M = assemble_h1(sp, k)
+    w, V = scipy.linalg.eigh(A, M)
+    nev, m = 3, 7
+    # rows 0-1: lowest two bands; rows 2-5: CONVERGED but higher bands
+    # (mis-sorted guard rows); row 6 (last): the true 3rd band.
+    order = [0, 1, 10, 11, 12, 13, 2]
+    X = V[:, order].T.reshape(m, *sp.dof_shape)
+    lam_trim, _ = host_rayleigh_ritz(op, to_reim_np(X), k, nev)
+    lam_full, _ = host_rayleigh_ritz(op, to_reim_np(X), k, nev,
+                                     rows=m)
+    np.testing.assert_allclose(lam_full, w[:nev], rtol=1e-10,
+                               atol=1e-12)
+    # The trimmed subspace cannot contain the 3rd band: its 3rd Ritz
+    # value is the 10th exact band, far above.
+    assert lam_trim[2] > w[nev - 1] * (1.0 + 1e-6), (lam_trim, w[:4])

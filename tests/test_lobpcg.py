@@ -212,3 +212,21 @@ def test_lobpcg_knife_edge_tol_terminates_fast():
     exact = scipy.linalg.eigh(H.astype(np.complex128),
                               eigvals_only=True)[:nev]
     np.testing.assert_allclose(lam, exact, rtol=1e-4)
+
+
+def test_lobpcg_reseeds_all_zero_block():
+    """A fully-zero X0 must still reseed: the reseed threshold is
+    rn < 1e-6·max(rn), which is all-False when max(rn) == 0 (round-4e
+    review) — without the absolute floor the zero block survives init,
+    whitening drops every direction, and the solve exits through the
+    degeneration stop with garbage while a warm chain carries the
+    absorbing zero block to every later k."""
+    n, nev, m = 60, 5, 9
+    H = _rand_hermitian(n, 7)
+    exact = scipy.linalg.eigh(H, eigvals_only=True)[:nev]
+    A = lambda x: jnp.asarray(H) @ x
+    X0 = jnp.zeros((m, n), jnp.complex128)
+    r = lobpcg(A, None, X0, nev, maxiter=300, tol=1e-9)
+    assert bool(jnp.all(r.converged))
+    np.testing.assert_allclose(np.asarray(r.eigenvalues), exact,
+                               rtol=1e-8, atol=1e-8)

@@ -367,3 +367,42 @@ def test_batched_restart_matches_single_phase():
                                rtol=1e-9, atol=1e-9)
     assert np.max(res.residuals) < 1e-9
     assert res.iterations.shape == (kp.nk,)
+
+
+def test_warm_chain_rebuilds_on_chain_or_mode_change():
+    """ONE BandSweep instance reconfigured across run_warm_chain calls
+    must rebuild its cached chain program (round-4e review): the jitted
+    closure captures the chain int and pc mode, so a chain-mid program
+    reused at a shorter chain indexes ks[old_chain//2] — silently
+    CLAMPED by XLA to the last k, i.e. a wrong-k preconditioner — and a
+    stale mode would re-run the previous configuration, corrupting
+    in-process A/B measurements. Every reconfigured call must match a
+    fresh instance exactly (eigenvalues AND iteration path)."""
+    import jax.numpy as jnp
+
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lat = make_lattice("FCC")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 3), 2)
+    op = BlochCurlCurl(sp, dtype=jnp.complex128)
+    kp = kpath(lat, npts=8, path=[["G", "X", "W"]])
+    kc = kp.k_cart.copy()
+    for i in range(kc.shape[0]):
+        if np.linalg.norm(kc[i]) < 1e-12:
+            kc[i] = 2e-2 * lat.B[0]
+
+    def mk():
+        return BandSweep(op, nev=4, block=8, tol=1e-8, maxiter=200,
+                         solve_fn=op.make_solve_fn(engine="spectral"))
+
+    sweep = mk()  # ONE instance driven through three configurations
+    seq = [dict(chain=4, precond="chain-mid"),
+           dict(chain=2, precond="chain-mid"),  # shorter chain, same mode
+           dict(chain=4, precond="batched")]    # mode change
+    for cfg in seq:
+        res = sweep.run_warm_chain(kc, **cfg)
+        ref = mk().run_warm_chain(kc, **cfg)
+        np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_array_equal(res.iterations, ref.iterations)
