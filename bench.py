@@ -105,6 +105,12 @@ def main():
                     help="force the CPU backend (smoke tests / oracle "
                     "runs; the JAX_PLATFORMS env var alone is NOT "
                     "honored once the axon plugin registers)")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="steady-state measurement passes (>=1). The "
+                    "reported value is the MEDIAN pass rate; detail "
+                    "records every pass (VERDICT r4: the single-pass "
+                    "headline carried an uncharacterized ~30%% worker "
+                    "variance band)")
     args = ap.parse_args()
 
     import numpy as np
@@ -256,45 +262,50 @@ def main():
             if np.linalg.norm(kc[i]) < 1e-12:
                 kc[i] = 2e-2 * lat.B[0]
 
+    def run_pass():
+        if args.mode == "warm":
+            return sweep.run_warm(kc)
+        if args.mode == "warm-seg":
+            return sweep.run_warm_sharded(kc, segments=args.segments)
+        if args.mode == "warm-chain":
+            return sweep.run_warm_chain(kc, chain=args.chain,
+                                        precond=args.pc_mode)
+        return sweep.run(kc, chunk=args.chunk or None)
+
     t_all = time.time()
-    if args.mode == "warm":
-        res = sweep.run_warm(kc)
-    elif args.mode == "warm-seg":
-        res = sweep.run_warm_sharded(kc, segments=args.segments)
-    elif args.mode == "warm-chain":
-        res = sweep.run_warm_chain(kc, chain=args.chain,
-                                   precond=args.pc_mode)
-    else:
-        res = sweep.run(kc, chunk=args.chunk or None)
+    res = run_pass()
     # Steady-state k-points: wall_s excludes the first launch (compile);
     # warm mode launches per k, batched mode per chunk. Single-launch
     # batched runs (chunk >= nk) have NO steady launch — re-run the
     # (now compiled+cached) program and time that instead of emitting
     # the 1/1e-9 garbage rate (ADVICE r2 #4 / VERDICT r2 weak #3).
+    # Same degenerate case for warm-seg/warm-chain (ADVICE r3 #2).
     first = (1 if args.mode == "warm" else
              args.segments if args.mode == "warm-seg" else
              args.chain if args.mode == "warm-chain" else
              (args.chunk or kp.nk))
     n_steady = max(kp.nk - first, 1)
     wall = res.wall_s
-    if args.mode == "batched" and first >= kp.nk:
-        res2 = sweep.run(kc, chunk=args.chunk or None)
+    degenerate = (args.mode in ("batched", "warm-seg", "warm-chain")
+                  and first >= kp.nk)
+    if degenerate:
+        res2 = run_pass()
         wall = res2.compile_s + res2.wall_s  # pure execution (cached)
         n_steady = kp.nk
         res.wall_s = wall  # mutable dataclass; keeps detail consistent
-    elif args.mode in ("warm-seg", "warm-chain") and first >= kp.nk:
-        # Same degenerate case for warm-seg/warm-chain (ADVICE r3 #2):
-        # nk <= segments/chain means the ONLY launch is the compiling
-        # one, so wall_s stays 0 — re-run the cached program.
-        res2 = (sweep.run_warm_sharded(kc, segments=args.segments)
-                if args.mode == "warm-seg"
-                else sweep.run_warm_chain(kc, chain=args.chain,
-                                          precond=args.pc_mode))
-        wall = res2.compile_s + res2.wall_s
-        n_steady = kp.nk
-        res.wall_s = wall
+    # Repeat passes (VERDICT r4 weak 2: single-pass headlines carried an
+    # uncharacterized ~30% worker variance band). Every pass excludes
+    # the same first launch(es), so pass rates are comparable; the
+    # reported value is the MEDIAN.
+    pass_walls = [max(wall, 1e-9)]
+    for _ in range(max(args.repeats, 1) - 1):
+        r2 = run_pass()
+        w2 = (r2.compile_s + r2.wall_s) if degenerate else r2.wall_s
+        pass_walls.append(max(w2, 1e-9))
+    pass_rates = [n_steady / w for w in pass_walls]
+    solves_per_sec = float(np.median(pass_rates))
+    wall = float(np.median(pass_walls))
     total = time.time() - t_all
-    solves_per_sec = n_steady / max(wall, 1e-9)
 
     # Accuracy vs the analytic empty-lattice oracle (App. B.3).
     def exact_bands(k, nb):
@@ -373,6 +384,20 @@ def main():
     if hbm_peak is None:
         hbm_peak = hbm_program_bytes
         hbm_peak_source = "memory_analysis(program)"
+    # Accuracy self-check (VERDICT r4 weak 5: the round-4 dielectric
+    # regression — max_residual 1.65e-3 against a 1e-4 device stop —
+    # sailed into the record unflagged). A residual far above the stop
+    # means at least one k exited on the stagnation/degeneration guard,
+    # so the metric-line tolerance is NOT certified by this run.
+    max_resid = float(np.max(res.residuals))
+    stop = dtol_for(args.engine) or args.tol
+    residual_warning = None
+    if max_resid > 10 * stop:
+        residual_warning = (
+            f"max_residual {max_resid:.3g} exceeds 10x the device stop "
+            f"{stop:g}: at least one k-point exited unconverged — "
+            f"accuracy at the metric tol is NOT certified by this run")
+        print("WARNING: " + residual_warning, file=sys.stderr)
     out = {
         "metric": metric,
         "value": round(solves_per_sec, 4),
@@ -402,10 +427,16 @@ def main():
             "compile_s": round(res.compile_s, 2),
             "steady_wall_s": round(res.wall_s, 3),
             "total_wall_s": round(total, 2),
+            "repeats": max(args.repeats, 1),
+            "pass_rates": [round(r, 4) for r in pass_rates],
             "mean_lobpcg_iters": float(np.mean(res.iterations)),
+            "iters_per_k": [int(i) for i in res.iterations],
             "max_rel_eig_err_vs_analytic": (
                 float(np.max(errs)) if errs[0] is not None else None),
-            "max_residual": float(np.max(res.residuals)),
+            "max_residual": max_resid,
+            "residual_per_k": [float(f"{float(np.max(r)):.3g}")
+                               for r in np.atleast_2d(res.residuals)],
+            "residual_warning": residual_warning,
             "engine": args.engine,
             "hbm_peak_bytes": hbm_peak,
             "hbm_peak_source": hbm_peak_source,

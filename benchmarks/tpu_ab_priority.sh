@@ -4,17 +4,8 @@
 # warm-chain pc-mode A/Bs. Same result layout (results/ab_r4/).
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p results/ab_r4
-run() {
-  local name="$1"; shift
-  local tmo="$1"; shift
-  echo "=== $name: python bench.py $* (timeout ${tmo}s)" >&2
-  if timeout "$tmo" python bench.py "$@" > "results/ab_r4/$name.json" 2> "results/ab_r4/$name.log"; then
-    echo "$name: $(tail -1 "results/ab_r4/$name.json")"
-  else
-    echo "FAILED/TIMEOUT: $name (see results/ab_r4/$name.log)" >&2
-  fi
-}
+source benchmarks/ab_lib.sh   # ADVICE r4: shared run(), per-commit outdir
+ab_init results/ab_r4
 run warm_control 1200
 run diel_warm 2400 --problem dielectric
 run chain8_batched 1200 --mode warm-chain --chain 8 --pc-mode batched --nk 32

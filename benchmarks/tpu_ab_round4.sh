@@ -8,20 +8,12 @@
 #
 # --quick: headline A/Bs only (skip dielectric/rods2d, which pay a
 # ~2 min cold-compile each when .jax_cache is cold).
+# SUPERSEDED by tpu_ab_round5.sh (same queue at round-5 HEAD, with
+# --repeats medians); kept runnable for reproducing the round-4 lines.
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p results/ab_r4
-
-run() {
-  local name="$1"; shift
-  local tmo="$1"; shift
-  echo "=== $name: python bench.py $* (timeout ${tmo}s)" >&2
-  if timeout "$tmo" python bench.py "$@" > "results/ab_r4/$name.json" 2> "results/ab_r4/$name.log"; then
-    tail -1 "results/ab_r4/$name.json"
-  else
-    echo "FAILED/TIMEOUT: $name (see results/ab_r4/$name.log)" >&2
-  fi
-}
+source benchmarks/ab_lib.sh   # ADVICE r4: shared run(), per-commit outdir
+ab_init results/ab_r4
 
 QUICK=${1:-}
 
@@ -51,8 +43,8 @@ run warm_block12   900 --block 12
 #    ~12.6 ms/iter dispatch floor candidate fix.
 echo "=== pallas_jacobi: BRAVAIS_JACOBI_PALLAS=1 python bench.py" >&2
 if BRAVAIS_JACOBI_PALLAS=1 timeout 900 python bench.py \
-     > results/ab_r4/warm_pallas_jacobi.json 2> results/ab_r4/warm_pallas_jacobi.log; then
-  tail -1 results/ab_r4/warm_pallas_jacobi.json
+     > "$OUT/warm_pallas_jacobi.json" 2> "$OUT/warm_pallas_jacobi.log"; then
+  tail -1 "$OUT/warm_pallas_jacobi.json"
 else
   echo "FAILED/TIMEOUT: warm_pallas_jacobi" >&2
 fi
