@@ -39,8 +39,14 @@ def main():
     ap.add_argument("--nev", type=int, default=10)
     ap.add_argument("--eps-in", type=float, default=13.0)
     ap.add_argument("--radius", type=float, default=0.25)
-    ap.add_argument("--k-indices", type=str, default="0,5,10,15",
-                    help="indices into the 16-point G-X-M-R bench path")
+    ap.add_argument("--k-indices", type=str, default="0,1,5,10,15",
+                    help="indices into the 16-point G-X-M-R bench path. "
+                    "k=1 (smallest nonzero |k|) is the round-4/5 TPU "
+                    "anomaly point: its device residual stalls at "
+                    "~1.7e-3 (and DEGENERATES to 2.7e-2 under a 1e-5 "
+                    "stop) while every other k reaches the 1e-4 stop — "
+                    "this script adjudicates whether the f64 refine "
+                    "still certifies it (results/ab_r5 diel_warm*.json)")
     ap.add_argument("--bar", type=float, default=1e-6,
                     help="relative eigenvalue agreement bar")
     ap.add_argument("--f64-tol", type=float, default=1e-9,
