@@ -86,11 +86,15 @@ def main():
                     " max MXU), 'field' = matrix-free applies with "
                     "fastdiag projection/preconditioning (general eps)")
     ap.add_argument("--pc-rep", choices=["factor", "inv"],
-                    default="inv",
+                    default="factor",
                     help="spectral engine: (A+sM)^-1 preconditioner "
                     "representation — 'factor' keeps the triangular "
                     "factor (cheaper per-k setup), 'inv' the explicit "
-                    "inverse (cheaper per iteration)")
+                    "inverse (cheaper per iteration). Default flipped "
+                    "to 'factor' by the round-5 x3-median A/B: 7.05 vs "
+                    "6.61 eig/s at the headline config, identical "
+                    "iteration path and 2.78e-8 error "
+                    "(results/ab_r5/d0a62ec/warm_pcfactor_x3.json)")
     ap.add_argument("--cg-iters", type=int, default=20)
     ap.add_argument("--maxiter", type=int, default=0,
                     help="LOBPCG maxiter (0 = per-problem default)")
@@ -105,12 +109,13 @@ def main():
                     help="force the CPU backend (smoke tests / oracle "
                     "runs; the JAX_PLATFORMS env var alone is NOT "
                     "honored once the axon plugin registers)")
-    ap.add_argument("--repeats", type=int, default=1,
+    ap.add_argument("--repeats", type=int, default=3,
                     help="steady-state measurement passes (>=1). The "
                     "reported value is the MEDIAN pass rate; detail "
                     "records every pass (VERDICT r4: the single-pass "
                     "headline carried an uncharacterized ~30%% worker "
-                    "variance band)")
+                    "variance band — default 3 so every recorded line "
+                    "self-describes its band)")
     args = ap.parse_args()
 
     import numpy as np
