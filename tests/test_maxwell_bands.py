@@ -94,7 +94,7 @@ def test_sc_dielectric_sphere_gap_structure():
 
 def _dielectric_solve(eps_in, deflation="project-cheby",
                       precond="fastdiag", cg_iters=None, nev=8,
-                      tol=1e-5, n=4, p=2):
+                      tol=1e-5, n=4, p=2, **solve_kw):
     """One f32 solve of the CUB + ε-sphere problem at X (the varying-ε
     production path); returns the LobpcgResult."""
     import jax.numpy as jnp
@@ -115,7 +115,7 @@ def _dielectric_solve(eps_in, deflation="project-cheby",
                       ).astype(np.complex64))
     solve = op.make_solve_fn(
         deflation=deflation, precond=precond,
-        cg_iters=cg_iters or op.adaptive_cg_iters())
+        cg_iters=cg_iters or op.adaptive_cg_iters(), **solve_kw)
     return solve(op, X0, k, nev, tol, 250, None)
 
 
@@ -143,6 +143,35 @@ def test_cheby_steps_contraction_invariant():
         assert 2.0 * rho**m <= 0.2, (eps_in, m, 2.0 * rho**m)
         old = max(6, int(np.ceil(2.0 * np.sqrt(b / a))))
         assert m <= old, (eps_in, m, old)
+
+
+def test_cheby_target_override_deepens_and_agrees():
+    """`make_solve_fn(cheby_target=...)` (the f64-oracle knob,
+    benchmarks/certify_dielectric.py): a smaller contraction target
+    must give strictly more Chebyshev steps, and a deep-projector
+    solve must agree with the production projector on the eigenvalues
+    — the projector depth is a convergence/robustness dial, never an
+    accuracy dial (round-5 lesson: at the production 0.15 target an
+    f64 1e-9-stop ORACLE degenerated at the R point; the fix is a
+    deep target for oracles, not a change to production)."""
+    import jax.numpy as jnp
+    from bravais_tpu.operators.coefficients import dielectric_sphere
+
+    lat = make_lattice("CUB")
+    grid = PeriodicGrid.make(lat, 4)
+    center = 0.5 * lat.A.sum(axis=0)
+    eps = dielectric_sphere(13.0, 1.0, 0.25, center, lat.A, 0.0)
+    sp = NedelecSpace.make(grid, 2)
+    op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
+    assert op.cheby_steps(1e-6) > op.cheby_steps(1e-3) > op.cheby_steps()
+    assert op.cheby_steps(0.15) == op.cheby_steps()
+
+    r_prod = _dielectric_solve(13.0)
+    r_deep = _dielectric_solve(13.0, cheby_target=1e-3)
+    lam_p = np.asarray(r_prod.eigenvalues)
+    lam_d = np.asarray(r_deep.eigenvalues)
+    assert np.max(np.abs(lam_d - lam_p) / np.abs(lam_p)) < 1e-4, (
+        lam_p, lam_d)
 
 
 def test_dielectric_sphere_contrast_robust_config():
