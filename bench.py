@@ -95,6 +95,14 @@ def main():
                     "6.61 eig/s at the headline config, identical "
                     "iteration path and 2.78e-8 error "
                     "(results/ab_r5/d0a62ec/warm_pcfactor_x3.json)")
+    ap.add_argument("--cheby-target", type=float, default=None,
+                    help="field engine: kernel-projector contraction "
+                    "per application (None = the production 0.15; "
+                    "smaller = deeper projector — oracle territory). "
+                    "Step count depends on the twin's spectral bounds "
+                    "at SIZE: at config-3 production n=6 p=3 the "
+                    "one-fewer-step boundary is 0.3 (5->4 steps); "
+                    "0.2 is a measured NO-OP there (still 5)")
     ap.add_argument("--cg-iters", type=int, default=20)
     ap.add_argument("--maxiter", type=int, default=0,
                     help="LOBPCG maxiter (0 = per-problem default)")
@@ -163,7 +171,8 @@ def main():
         # inner-PCG variant under project-cheby deflation (round-4d
         # measurement, cli/bands_app.py make_solve_fn).
         solve_fn = op.make_solve_fn(deflation="project-cheby",
-                                    precond="fastdiag")
+                                    precond="fastdiag",
+                                    cheby_target=args.cheby_target)
         sweep = BandSweep(op, nev=args.nev,
                           block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
@@ -428,6 +437,8 @@ def main():
                             if args.mode == "batched" else None),
             "pc_rep": (args.pc_rep if args.engine == "spectral"
                        else None),
+            "cheby_target": (args.cheby_target
+                             if args.problem == "dielectric" else None),
             "device_tol": dtol_for(args.engine),
             "compile_s": round(res.compile_s, 2),
             "steady_wall_s": round(res.wall_s, 3),

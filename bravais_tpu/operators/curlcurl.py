@@ -923,9 +923,30 @@ class BlochCurlCurl:
         rhs = self.apply_GkH(self.apply_M(u, k), k)
         return self.apply_Gk(lsolve(rhs), k)
 
+    def qp_L(self):
+        """The quasi-periodic ε-Laplacian TWIN of L = Gᴴ M_ε G.
+
+        Discrete de Rham exactness makes this an IDENTITY, not an
+        approximation: ∇(H1_p) lies exactly in the Nédélec space, and
+        self.h1 shares the Nédélec quadrature (same q), so
+        QPLaplace(h1, α=ε).apply_A == apply_GkH∘apply_M∘apply_Gk to
+        machine precision (gated by
+        tests/test_gmg.py::test_qp_laplace_is_exactly_Lk; measured
+        4e-16 relative at n=4 p=3). The twin's apply is ONE fused
+        Pallas element kernel on TPU (~30 XLA ops) versus the ~300
+        tiny ops of the three-operator chain — the round-5 fix for
+        the op-issue-latency-bound Chebyshev kernel projector
+        (docs/STATUS.md §0d-throughput)."""
+        if not hasattr(self, "_qp_L"):
+            from bravais_tpu.operators.qplaplace import QPLaplace
+            self._qp_L = QPLaplace(self.h1, alpha=self._eps_fn,
+                                   dtype=self.dtype)
+        return self._qp_L
+
     def apply_Lk(self, phi: jax.Array, k: jax.Array) -> jax.Array:
-        """L φ = Gᴴ M_ε G φ — the quasi-periodic ε-weighted Laplacian."""
-        return self.apply_GkH(self.apply_M(self.apply_Gk(phi, k), k), k)
+        """L φ = Gᴴ M_ε G φ — the quasi-periodic ε-weighted Laplacian
+        (computed via the exact :meth:`qp_L` twin; see its docstring)."""
+        return self.qp_L().apply_A(phi, k)
 
     def qp_gmg(self, **kw):
         """Multigrid on the quasi-periodic ε-Laplacian — EXACTLY the
@@ -1205,6 +1226,8 @@ class BlochCurlCurl:
         if defl in ("fastdiag", "project", "project-cg",
                     "project-cheby", "cg"):
             self.fastdiag_L()  # host stencil extraction, cached
+            self.qp_L()        # eager twin build (repo rule: never
+            #                    first-construct a twin inside a trace)
         if precond in ("fastdiag", "fastdiag-cg"):
             self.fastdiag()
 

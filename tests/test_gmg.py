@@ -138,3 +138,32 @@ def test_qpgmg_solves_deflation_operator():
                     / jnp.linalg.norm(b))
         # contraction ≈ 0.14/cycle, measured identical at near-Γ
         assert rel < 1e-4, (kf, rel)
+
+
+def test_qp_laplace_is_exactly_Lk():
+    """Discrete de Rham exactness gate for the round-5 apply_Lk swap:
+    QPLaplace(h1, α=ε).apply_A must equal the explicit three-operator
+    chain Gᴴ M_ε G to machine precision (∇H1_p ⊂ Nédélec_p exactly,
+    and curlcurl.h1 shares the Nédélec quadrature). This is an
+    IDENTITY — any drift here means the twin quadrature or the phase
+    convention diverged, and the production Chebyshev kernel projector
+    would silently project onto the wrong kernel."""
+    from bravais_tpu.operators.coefficients import dielectric_sphere
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lat = make_lattice("CUB")
+    sp = NedelecSpace.make(PeriodicGrid.make(lat, 4), 3)
+    eps = dielectric_sphere(13.0, 1.0, 0.25, 0.5 * lat.A.sum(axis=0),
+                            lat.A)
+    op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex128)
+    rng = np.random.default_rng(7)
+    phi = jnp.asarray(rng.standard_normal(op.h1.dof_shape)
+                      + 1j * rng.standard_normal(op.h1.dof_shape))
+    for kf in [(0.3, 0.1, 0.2), (0.5, 0.0, 0.0), (2e-3, 0.0, 0.0)]:
+        k = jnp.asarray(np.asarray(lat.k_cart(kf)))
+        chain = op.apply_GkH(op.apply_M(op.apply_Gk(phi, k), k), k)
+        twin = op.qp_L().apply_A(phi, k)
+        rel = float(jnp.linalg.norm(twin - chain)
+                    / jnp.linalg.norm(chain))
+        assert rel < 1e-13, (kf, rel)
