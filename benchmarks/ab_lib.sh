@@ -14,7 +14,11 @@ ab_init() {
   local base="$1"
   local head
   head=$(git rev-parse --short HEAD 2>/dev/null || echo nogit)
-  if ! git diff --quiet 2>/dev/null; then head="${head}-dirty"; fi
+  # PROGRESS.jsonl is appended by the round driver every ~15 min;
+  # it is not code, so it must not mark a measurement run as dirty.
+  if ! git diff --quiet -- . ':(exclude)PROGRESS.jsonl' 2>/dev/null; then
+    head="${head}-dirty"
+  fi
   OUT="$base/$head"
   mkdir -p "$OUT"
   { echo "commit: $(git rev-parse HEAD 2>/dev/null)"
