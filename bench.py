@@ -103,6 +103,18 @@ def main():
                     "at SIZE: at config-3 production n=6 p=3 the "
                     "one-fewer-step boundary is 0.3 (5->4 steps); "
                     "0.2 is a measured NO-OP there (still 5)")
+    ap.add_argument("--near-gamma-tol", type=float, default=None,
+                    help="field engines, warm mode: looser device stop "
+                    "for k-points with |k| < 0.15*min|b_i| (the f32 "
+                    "exact-deflation roundoff floor near Gamma sits at "
+                    "~1e-3, above the 1e-4 field stop, so the smallest-"
+                    "|k| points burn 21-24%% of ALL sweep iterations "
+                    "grinding it until the stagnation guard fires; the "
+                    "f64 refine was CERTIFIED to recover <=1.9e-7 "
+                    "relative from exactly those exits — "
+                    "benchmarks/certify_dielectric.py, STATUS "
+                    "S0d-cert). None = per-problem default (2e-3 for "
+                    "dielectric, off otherwise); 0 = off")
     ap.add_argument("--cg-iters", type=int, default=20)
     ap.add_argument("--maxiter", type=int, default=0,
                     help="LOBPCG maxiter (0 = per-problem default)")
@@ -173,12 +185,17 @@ def main():
         solve_fn = op.make_solve_fn(deflation="project-cheby",
                                     precond="fastdiag",
                                     cheby_target=args.cheby_target)
+        ngt = (2e-3 if args.near_gamma_tol is None
+               else (args.near_gamma_tol or None))
         sweep = BandSweep(op, nev=args.nev,
                           block=args.block or args.nev + 6,
                           tol=args.tol, maxiter=args.maxiter or 250,
                           solve_fn=solve_fn,
                           device_tol=dtol_for("field"),
-                          restart_tol=args.restart_tol or None)
+                          restart_tol=args.restart_tol or None,
+                          near_gamma_tol=ngt,
+                          near_gamma_norm=0.15 * float(
+                              np.linalg.norm(lat.B, axis=1).min()))
         metric = (f"k-point eigensolves/sec (CUB Maxwell G-X-M-R, "
                   f"eps={eps_in:g} sphere r={radius:g}a, "
                   f"{args.nev} bands, n={n} p={p}, solver tol "
@@ -405,6 +422,11 @@ def main():
     # so the metric-line tolerance is NOT certified by this run.
     max_resid = float(np.max(res.residuals))
     stop = dtol_for(args.engine) or args.tol
+    # The near-Γ loose stop is an INTENDED exit above the regular stop
+    # (certified benign — see --near-gamma-tol); warn only above it.
+    ngt_eff = getattr(sweep, "near_gamma_tol", None)
+    if ngt_eff:
+        stop = max(stop, ngt_eff)
     residual_warning = None
     if max_resid > 10 * stop:
         residual_warning = (
@@ -453,6 +475,7 @@ def main():
             "residual_per_k": [float(f"{float(np.max(r)):.3g}")
                                for r in np.atleast_2d(res.residuals)],
             "residual_warning": residual_warning,
+            "near_gamma_tol": ngt_eff,
             "engine": args.engine,
             "hbm_peak_bytes": hbm_peak,
             "hbm_peak_source": hbm_peak_source,

@@ -74,7 +74,9 @@ class BandSweep:
                  keep_vectors: bool = False,
                  device_tol: Optional[float] = None,
                  restart_tol: Optional[float] = None,
-                 rr_tol: "float | None | str" = "prod"):
+                 rr_tol: "float | None | str" = "prod",
+                 near_gamma_tol: Optional[float] = None,
+                 near_gamma_norm: float = 0.0):
         # Rayleigh–Ritz eigh stop for the built-in lobpcg path: "prod" =
         # the measured production default (lobpcg.PROD_RR_TOL); None =
         # machine precision (oracle/debug runs). Engine solve_fn hooks
@@ -135,7 +137,31 @@ class BandSweep:
         # has a genuine straggler (e.g. the cold nudged-Γ point at
         # production size). Off by default; parity-gated.
         self.restart_tol = restart_tol
+        # ``near_gamma_tol``: looser device stop applied ONLY at k-points
+        # with |k| < near_gamma_norm (warm mode). Rationale (round 5,
+        # STATUS §0d-cert/§0d-throughput): in f32 the exact-deflation
+        # roundoff floor near Γ sits at ~1e-3 — ABOVE the production 1e-4
+        # field device stop — so the two smallest-|k| points grind the
+        # floor until the segment stagnation guard fires (measured 21%-24%
+        # of ALL sweep iterations on config 3), while the f64 refine was
+        # CERTIFIED to recover ≤1.9e-7 relative eigenvalue error from
+        # exactly those guard exits (benchmarks/certify_dielectric.py:
+        # k=1 exited at 1.65e-3 device residual → 1.86e-7 after refine;
+        # quadratic error ~ residual²/gap). A near-Γ stop at ~2e-3 exits
+        # those points as soon as they reach the certified-benign region
+        # instead of burning segments proving they are stuck. Only
+        # meaningful with the f64 refine active; ignored otherwise.
+        self.near_gamma_tol = near_gamma_tol if self.refine else None
+        self.near_gamma_norm = near_gamma_norm
         self._resolve_precond()
+
+    def _tol_for_k(self, k: np.ndarray) -> float:
+        """Per-k device stop (host-side): ``near_gamma_tol`` inside the
+        ``|k| < near_gamma_norm`` ball, the regular stop elsewhere."""
+        if (self.near_gamma_tol is not None and self.near_gamma_norm > 0
+                and float(np.linalg.norm(k)) < self.near_gamma_norm):
+            return max(self.near_gamma_tol, self.tol)
+        return self.tol
 
     # -- single-k solve (real-valued boundary) ------------------------------
 
@@ -384,11 +410,21 @@ class BandSweep:
 
         X0 = jnp.asarray(self._x0_np(
             getattr(sp, "field_shape", sp.dof_shape), rdtype))
+        # Near-Γ loose stop (see __init__): tol becomes a TRACED scalar
+        # argument so one compiled program serves every k (value changes
+        # never retrace); when the feature is off the call signature is
+        # unchanged (tol baked as a constant — keeps existing programs
+        # and cache keys bit-identical).
+        use_ktol = (self.near_gamma_tol is not None
+                    and self.near_gamma_norm > 0)
+        ktol = (lambda i: {"tol": jnp.asarray(self._tol_for_k(k_cart[i]),
+                                              rdtype)}) if use_ktol \
+            else (lambda i: {})
         lams, itss, ress = [], [], []
         vecs = [] if self.keep_vectors else None
         nk = len(k_cart)
         t_start = time.time()
-        out = self._jit_single(X0, jnp.asarray(k_cart[0]))
+        out = self._jit_single(X0, jnp.asarray(k_cart[0]), **ktol(0))
         compile_s = 0.0
         for i in range(nk):
             # Pipeline: queue this k's device→host copies FIRST (the
@@ -411,7 +447,8 @@ class BandSweep:
                     except (AttributeError, RuntimeError):
                         break
                 out_next = self._jit_single(out[3],
-                                            jnp.asarray(k_cart[i + 1]))
+                                            jnp.asarray(k_cart[i + 1]),
+                                            **ktol(i + 1))
             lam = np.asarray(out[0])   # blocks until solve i is done
             its = int(out[1])
             res = np.asarray(out[2])

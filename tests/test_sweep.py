@@ -406,3 +406,54 @@ def test_warm_chain_rebuilds_on_chain_or_mode_change():
         np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_array_equal(res.iterations, ref.iterations)
+
+
+def test_warm_near_gamma_loose_stop():
+    """near_gamma_tol (round 5): k-points inside |k| < near_gamma_norm
+    use a looser DEVICE stop (the f32 exact-deflation roundoff floor
+    near Γ sits above the production field stop and the f64 refine is
+    certified to recover from those exits — STATUS §0d-cert). Gates:
+    (a) refined eigenvalues match the tight-stop control to the
+    refine's accuracy, (b) the near-Γ point does not iterate MORE than
+    the control, (c) one compiled program serves both tolerance values
+    (tol is traced, not baked — no per-k retrace)."""
+    import jax.numpy as jnp
+
+    from bravais_tpu.operators.coefficients import dielectric_sphere
+    from bravais_tpu.operators.curlcurl import BlochCurlCurl
+    from bravais_tpu.spaces.nedelec import NedelecSpace
+
+    lat = make_lattice("CUB")
+    grid = PeriodicGrid.make(lat, 4)
+    center = 0.5 * lat.A.sum(axis=0)
+    eps = dielectric_sphere(13.0, 1.0, 0.25, center, lat.A, 0.0)
+    sp = NedelecSpace.make(grid, 2)
+    kp = kpath(lat, npts=5, path=[["G", "X"]])
+    kc = kp.k_cart.copy()
+    for i in range(kc.shape[0]):
+        if np.linalg.norm(kc[i]) < 1e-12:
+            kc[i] = 2e-2 * lat.B[0]
+    norm_ng = 0.15 * float(np.linalg.norm(lat.B, axis=1).min())
+    n_near = int(np.sum(np.linalg.norm(kc, axis=1) < norm_ng))
+    assert n_near >= 1  # the nudged Γ must be inside the ball
+
+    def mk(**kw):
+        op = BlochCurlCurl(sp, eps=eps, dtype=jnp.complex64)
+        solve = op.make_solve_fn(deflation="project-cheby",
+                                 precond="fastdiag")
+        return BandSweep(op, nev=4, block=8, tol=1e-6, maxiter=250,
+                         solve_fn=solve, device_tol=1e-4, **kw)
+
+    ref = mk().run_warm(kc)
+    ng = mk(near_gamma_tol=2e-3, near_gamma_norm=norm_ng)
+    res = ng.run_warm(kc)
+    # (a) refined-eigenvalue parity (both are f64 RR over converged-ish
+    # f32 subspaces; agreement set by the refine, not identical paths)
+    np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                               rtol=2e-6)
+    # (b) the loose stop can only shorten the near-Γ solve
+    assert res.iterations[0] <= ref.iterations[0]
+    # (c) single trace for all k despite two tolerance values
+    cache_size = getattr(ng._jit_single, "_cache_size", None)
+    if cache_size is not None:
+        assert cache_size() == 1
